@@ -1,0 +1,57 @@
+"""Render configuration.
+
+The reference has no runtime config — everything is compile-time defines
+(MAX_DEPTH RTPipeline.h:15, SAMPLES/MISS_DEPTH/LIGHT_TRESHOLD
+shaders/constants.slang, window size RTApp.cpp:3, depthMax=2
+RTApp.cpp:48).  Here those knobs are a frozen dataclass used as a static
+jit argument, so each config compiles its own specialized frame program
+— the XLA analogue of the reference's #define specialization.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 800                 # ref: RTApp.cpp:3 (800x600 window)
+    height: int = 600
+    spp: int = 1                     # ref: shaders/constants.slang:24
+    max_depth: int = 2               # ref: RTApp.cpp:48 (depthMax)
+    light_threshold: float = 1e-4    # ref: shaders/constants.slang:28
+    sky: bool = False                # False = reference black-miss parity
+    jitter: bool = False             # ref computes-but-drops jitter
+    indirect: bool = False           # ref ships GGX bounce but weights 0
+    russian_roulette: bool = True    # only used when indirect=True
+    rr_start_depth: int = 2
+    normal_offset: float = 1e-4      # ref: raytracing.slang:57 (+N*0.0001)
+    bounce_offset: float = 1e-3      # ref: raytracing.slang:164 (+N*0.001)
+    t_min: float = 1e-3              # ref: raytracing.slang:105
+    traversal: str = "auto"          # bruteforce | bvh | pallas | auto
+    tri_chunk: int = 512             # brute-force triangle chunk
+    # Post pipeline (phase 5):
+    denoise: bool = False
+    upscale: int = 1                 # 1 = off, 2 = 2x learned upscale
+    accumulate: bool = False         # temporal accumulation across frames
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+
+# The five BASELINE.json benchmark configs.
+CONFIGS = {
+    "primary": RenderConfig(width=800, height=600, max_depth=1, sky=True),
+    "whitted": RenderConfig(width=800, height=600, max_depth=4, sky=True,
+                            indirect=True, russian_roulette=False),
+    "mesh_bvh": RenderConfig(width=800, height=600, max_depth=2, sky=True,
+                             traversal="pallas"),
+    "path_tracing": RenderConfig(width=1920, height=1080, max_depth=5,
+                                 sky=True, indirect=True, jitter=True,
+                                 accumulate=True, traversal="pallas"),
+    "animated_4k": RenderConfig(width=3840, height=2160, max_depth=3,
+                                sky=True, indirect=True, jitter=True,
+                                denoise=True, upscale=2,
+                                traversal="pallas"),
+    "reference_parity": RenderConfig(),
+}

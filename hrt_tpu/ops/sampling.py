@@ -1,0 +1,109 @@
+"""Importance samplers for bounce directions.
+
+Port of the reference's sampler library (ref: shaders/sampler.slang):
+cosine-weighted hemisphere (:53-65) and the Dupuy-Benyoub spherical-cap
+GGX-VNDF sampler with anisotropic roughness (:67-93) plus its PDF
+(:23-33).  The reference ships these but disables their use
+(raytracing.slang:166-168 commented out, weight forced to 0); here they
+drive real multi-bounce GI.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models import materials as M
+from .math3d import cross, dot, normalize, square, to_local, to_world
+
+TWO_PI = jnp.float32(6.2831853071795)
+ONE_OVER_PI = jnp.float32(0.3183098861837)
+
+
+def cosine_hemisphere(u0, u1):
+    """Sample local-frame direction + pdf (ref: sampler.slang:53-65).
+
+    NOTE the reference's pdf quirk: it returns 1/(cosTheta/pi) — the
+    *reciprocal* of the usual cos/pi pdf.  We return the standard
+    pdf = cosTheta/pi; callers divide (so math is equivalent)."""
+    phi = TWO_PI * u1
+    cos_theta = jnp.sqrt(u0)
+    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    d = jnp.stack(
+        [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta],
+        axis=-1,
+    )
+    pdf = cos_theta * ONE_OVER_PI
+    return d, pdf
+
+
+def anisotropic_from_material(mat):
+    """ref: sampler.slang:35-42."""
+    aspect = jnp.sqrt(1.0 - mat[..., M.ANISOTROPIC] * 0.9)
+    r2 = square(jnp.maximum(mat[..., M.ROUGHNESS], M.ROUGHNESS_MIN))
+    ax = jnp.maximum(1e-3, r2 / aspect)
+    ay = jnp.maximum(1e-3, r2 * aspect)
+    return ax, ay
+
+
+def ggx_vndf_pdf_ratio(mat, wo, wi):
+    """G2/G1 estimator weight (ref: sampler.slang:23-33).
+
+    For VNDF sampling of the reflection lobe, the unbiased BRDF weight
+    is F * G2/G1; the reference's GGXVNDFPDF returns that ratio."""
+    a2 = square(square(jnp.maximum(mat[..., M.ROUGHNESS], M.ROUGHNESS_MIN)))
+    ndotl = wi[..., 2]
+    ndotv = wo[..., 2]
+    f1 = jnp.sqrt(a2 + (1.0 - a2) * ndotl * ndotl)
+    f2 = jnp.sqrt(a2 + (1.0 - a2) * ndotv * ndotv)
+    g1 = 2.0 * ndotv / jnp.maximum(f2 + ndotv, 1e-8)
+    g2 = 2.0 * ndotl * ndotv / jnp.maximum(f1 * ndotv + f2 * ndotl, 1e-8)
+    return g2 / jnp.maximum(g1, 1e-8)
+
+
+def ggx_vndf_spherical_cap(mat, v_world, n_world, u0, u1):
+    """Sample a GGX-VNDF reflection direction (ref: sampler.slang:67-93).
+
+    v_world points toward the viewer (away from surface).  Returns
+    (direction_world, weight) where weight = G2/G1 (the BRDF/pdf ratio
+    for the sampled lobe, Fresnel applied by the caller).
+    Zero weight where the sampled direction goes below the surface.
+    """
+    wo = to_local(v_world, n_world)
+    ax, ay = anisotropic_from_material(mat)
+
+    # NOTE: the reference negates wo here (sampler.slang:71), i.e. it
+    # feeds the *incoming ray* direction; combined with Slang reflect()
+    # this produces the mirrored lobe.  We sample around +wo (standard
+    # Dupuy-Benyoub) and reflect explicitly, which is the intended math.
+    v = normalize(jnp.stack(
+        [ax * wo[..., 0], ay * wo[..., 1], wo[..., 2]], axis=-1))
+
+    lensq = square(v[..., 0]) + square(v[..., 1])
+    rsqrt = jnp.where(lensq > 1e-12, 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12)), 0.0)
+    t1 = jnp.where(
+        (lensq > 1e-12)[..., None],
+        jnp.stack([-v[..., 1] * rsqrt, v[..., 0] * rsqrt,
+                   jnp.zeros_like(rsqrt)], axis=-1),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), v.shape),
+    )
+    t2 = cross(v, t1)
+
+    r = jnp.sqrt(u0)
+    phi = TWO_PI * u1
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + v[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - square(p1))) + s * p2
+
+    nh = (
+        t1 * p1[..., None]
+        + t2 * p2[..., None]
+        + v * jnp.sqrt(jnp.maximum(0.0, 1.0 - square(p1) - square(p2)))[..., None]
+    )
+    wm = normalize(jnp.stack(
+        [ax * nh[..., 0], ay * nh[..., 1],
+         jnp.maximum(0.0, nh[..., 2])], axis=-1))
+
+    # Reflect wo about wm: wi = 2(wo.wm)wm - wo.
+    wi = 2.0 * dot(wo, wm)[..., None] * wm - wo
+    weight = jnp.where(wi[..., 2] > 0.0, ggx_vndf_pdf_ratio(mat, wo, wi), 0.0)
+    return to_world(wi, n_world), weight

@@ -1,0 +1,321 @@
+"""The jitted frame program: trace -> shade -> (denoise -> upscale).
+
+This is the TPU replacement for the reference's RT pipeline dispatch
+(`vkCmdTraceRaysKHR`, ref: Graphics/RayTracing/RTPipeline.cpp:41-43) and
+its shader stages (rgen/rchit/rmiss, ref: shaders/raytracing.slang):
+one XLA program per RenderConfig, with the bounce loop unrolled to
+`max_depth` (the reference's `while depth < depthMax` at
+raytracing.slang:119-126) and per-pixel SIMT parallelism replaced by
+SoA ray batches on the VPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .models import materials as M
+from .models.camera import Camera, primary_rays
+from .models.lights import process_light
+from .models.scene import SceneData
+from .models.sky import eval_sky
+from .ops import intersect, rng, sampling
+from .ops.disney import brdf, schlick_weight
+from .ops.math3d import dot, length, normalize
+
+INF = intersect.INF
+
+
+class CameraArrays(NamedTuple):
+    """Traced camera state (the UBO of RTPipeline.h:24-30, minus the
+    inverse-transpose dance — see models/camera.py)."""
+
+    origin: jnp.ndarray      # (3,)
+    basis: jnp.ndarray       # (3, 3) rows u, v, w
+    tan_half_fovy: jnp.ndarray
+    aspect: jnp.ndarray
+
+
+def camera_arrays(cam: Camera, config: RenderConfig) -> CameraArrays:
+    return CameraArrays(*cam.ray_params(config.width, config.height))
+
+
+# ---------------------------------------------------------------------------
+# Trace dispatch — chooses the intersector backend.
+# ---------------------------------------------------------------------------
+
+def _ray_block_size(n: int, t: int) -> int:
+    """Pick a ray block bounding the (rays x tris-chunk) intermediate."""
+    for b in (65536, 32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):
+        if n % b == 0:
+            return b
+    return n
+
+
+def trace_closest(scene: SceneData, accel, o, d, t_min, t_max,
+                  config: RenderConfig):
+    """Closest-hit over the whole ray batch. Returns (t, tri, u, v)."""
+    mode = config.traversal
+    if mode in ("bvh", "pallas") and accel is not None:
+        from .ops import traversal
+
+        return traversal.closest_hit_bvh(
+            scene, accel, o, d, t_min, t_max,
+            use_pallas=(mode == "pallas"))
+    if mode == "auto" and accel is not None:
+        from .ops import traversal
+
+        return traversal.closest_hit_bvh(scene, accel, o, d, t_min, t_max,
+                                         use_pallas=True)
+
+    n = o.shape[0]
+    block = _ray_block_size(n, scene.num_triangles)
+
+    def one_block(args):
+        ob, db = args
+        return intersect.closest_hit_bruteforce(
+            ob, db, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            t_min, t_max, chunk=min(config.tri_chunk, scene.num_triangles))
+
+    if block == n:
+        return one_block((o, d))
+    res = jax.lax.map(one_block, (o.reshape(-1, block, 3),
+                                  d.reshape(-1, block, 3)))
+    return tuple(r.reshape(n) for r in res)
+
+
+def trace_any(scene: SceneData, accel, o, d, t_min, t_max,
+              config: RenderConfig):
+    """Occlusion (shadow) rays; t_max per-ray.  Returns bool (N,)."""
+    mode = config.traversal
+    if (mode in ("bvh", "pallas", "auto")) and accel is not None:
+        from .ops import traversal
+
+        return traversal.any_hit_bvh(scene, accel, o, d, t_min, t_max,
+                                     use_pallas=(mode == "pallas"))
+    n = o.shape[0]
+    block = _ray_block_size(n, scene.num_triangles)
+
+    def one_block(args):
+        ob, db, tb = args
+        return intersect.any_hit_bruteforce(
+            ob, db, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            t_min, tb, chunk=min(config.tri_chunk, scene.num_triangles))
+
+    if block == n:
+        return one_block((o, d, t_max))
+    res = jax.lax.map(one_block, (o.reshape(-1, block, 3),
+                                  d.reshape(-1, block, 3),
+                                  t_max.reshape(-1, block)))
+    return res.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# Shading (the rchitMain / calculateColor stage,
+# ref: shaders/raytracing.slang:72-88,135-170)
+# ---------------------------------------------------------------------------
+
+def interpolate_hit(scene: SceneData, tri_idx, u, v):
+    """Gather + barycentric-interpolate hit attributes
+    (ref: shaders/objects.slang:35-54)."""
+    safe = jnp.maximum(tri_idx, 0)
+    w = 1.0 - u - v
+    wu = u[..., None]
+    wv = v[..., None]
+    ww = w[..., None]
+    normal = (ww * scene.nrm0[safe] + wu * scene.nrm1[safe]
+              + wv * scene.nrm2[safe])
+    uv = ww * scene.uv0[safe] + wu * scene.uv1[safe] + wv * scene.uv2[safe]
+    mat_id = scene.tri_mat[safe]
+    return normalize(normal), uv, mat_id
+
+
+def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
+                    config: RenderConfig):
+    """NEE over all scene lights with one shadow ray each
+    (ref: calculateColor, shaders/raytracing.slang:72-88)."""
+    num_lights = scene.lights.shape[0]
+    if num_lights == 0:
+        return jnp.zeros(world_pos.shape, jnp.float32)
+
+    ldir, lcol, lint = process_light(scene.lights, world_pos)
+    l = normalize(ldir)                               # (N, L, 3)
+    f = brdf(mat_rows[:, None, :], n[:, None, :], view[:, None, :], l)
+
+    # Shadow rays (ref: testShadow, raytracing.slang:56-70).
+    shadow_o = world_pos + n * config.normal_offset
+    nrays = world_pos.shape[0]
+    so = jnp.broadcast_to(shadow_o[:, None, :], l.shape).reshape(-1, 3)
+    sd = l.reshape(-1, 3)
+    st = length(ldir).reshape(-1)
+    occluded = trace_any(scene, accel, so, sd, jnp.float32(config.t_min),
+                         st, config)
+    visible = 1.0 - occluded.reshape(nrays, num_lights).astype(jnp.float32)
+
+    contrib = f * lcol[None] * lint[..., None] * visible[..., None]
+    # Threshold cull (ref: raytracing.slang:78-79).
+    keep = (lint >= config.light_threshold)[..., None]
+    return jnp.sum(jnp.where(keep, contrib, 0.0), axis=1)
+
+
+def _sample_bounce(mat_rows, n, view, seed):
+    """One-sample lobe selection between diffuse (cosine) and specular
+    (GGX-VNDF) — enabling the sampler the reference ships disabled
+    (ref: raytracing.slang:166-168, sampler.slang:44-51)."""
+    u0, u1, seed = rng.rand2(seed)
+    usel, seed = rng.rand(seed)
+    metallic = mat_rows[:, M.METALLIC]
+    rough = jnp.maximum(mat_rows[:, M.ROUGHNESS], M.ROUGHNESS_MIN)
+    p_spec = jnp.clip(metallic + 0.25 * (1.0 - rough), 0.0, 0.95)
+
+    d_spec, w_spec = sampling.ggx_vndf_spherical_cap(mat_rows, view, n, u0, u1)
+    local_diff, _ = sampling.cosine_hemisphere(u0, u1)
+    from .ops.math3d import to_world
+
+    d_diff = to_world(local_diff, n)
+
+    color = mat_rows[:, M.COLOR]
+    # Specular tint: metallic surfaces reflect their color; dielectric
+    # specular is achromatic, scaled by Fresnel-ish schlick weight.
+    h = normalize(view + d_spec)
+    fres = schlick_weight(dot(d_spec, h))[..., None]
+    spec_col = (color + (1.0 - color) * fres) * metallic[:, None] + \
+        (0.04 + 0.96 * fres) * (1.0 - metallic[:, None])
+    diff_col = color * (1.0 - metallic[:, None])
+
+    take_spec = (usel < p_spec)[:, None]
+    direction = jnp.where(take_spec, d_spec, d_diff)
+    p = jnp.where(usel < p_spec, jnp.maximum(p_spec, 1e-3),
+                  jnp.maximum(1.0 - p_spec, 1e-3))[:, None]
+    weight = jnp.where(take_spec, spec_col * w_spec[:, None], diff_col) / p
+    # Kill invalid specular samples (below-horizon reflections).
+    weight = jnp.where(take_spec & (w_spec[:, None] <= 0.0), 0.0, weight)
+    return direction, weight, seed
+
+
+def trace_paths(scene: SceneData, accel, o, d, seeds,
+                config: RenderConfig):
+    """Bounded bounce loop over a flat ray batch (N, 3).
+
+    Unrolled `max_depth` times (the reference's while loop with its
+    wavefront re-dispatch per TraceRay).  Returns radiance (N, 3).
+    """
+    n = o.shape[0]
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    seed = seeds
+
+    for depth in range(config.max_depth):
+        t, tri, u, v = trace_closest(
+            scene, accel, o, d, jnp.float32(config.t_min), INF, config)
+        hit = (tri >= 0) & active
+
+        # Miss: sky radiance (rmissMain; black when sky disabled,
+        # ref: raytracing.slang:172-176).
+        sky_rad = eval_sky(scene.sky, d, enabled=config.sky)
+        radiance = radiance + jnp.where(
+            (active & ~hit)[:, None], throughput * sky_rad, 0.0)
+
+        nrm, uv, mat_id = interpolate_hit(scene, tri, u, v)
+        mat_rows = scene.materials[mat_id]
+        world_pos = o + t[:, None] * d
+        view = -d  # toward viewer
+        # Flip normal to face the viewer (ref: raytracing.slang:157-158).
+        nrm = jnp.where(dot(nrm, view)[:, None] < 0.0, -nrm, nrm)
+
+        direct = direct_lighting(scene, accel, mat_rows, nrm, view,
+                                 world_pos, config)
+        emissive = (mat_rows[:, M.EMISSIVE]
+                    * mat_rows[:, M.EMISSION_STRENGTH, None])
+        radiance = radiance + jnp.where(
+            hit[:, None], throughput * (direct + emissive), 0.0)
+
+        if not config.indirect or depth + 1 == config.max_depth:
+            break
+
+        new_d, weight, seed = _sample_bounce(mat_rows, nrm, view, seed)
+        throughput = throughput * weight
+        o = world_pos + nrm * config.bounce_offset
+        d = new_d
+        alive = jnp.max(throughput, axis=-1) > 1e-5
+        active = active & hit & alive
+
+        if config.russian_roulette and depth + 1 >= config.rr_start_depth:
+            p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+            u_rr, seed = rng.rand(seed)
+            survive = u_rr < p_cont
+            throughput = throughput / p_cont[:, None]
+            active = active & survive
+
+        # Deactivated rays keep tracing harmlessly with throughput 0 —
+        # static shapes, no compaction needed at this scale.
+        throughput = jnp.where(active[:, None], throughput, 0.0)
+
+    return radiance
+
+
+# ---------------------------------------------------------------------------
+# Frame entry
+# ---------------------------------------------------------------------------
+
+def render_rows(scene: SceneData, accel, cam: CameraArrays,
+                frame: jnp.ndarray, y0, rows: int,
+                config: RenderConfig) -> jnp.ndarray:
+    """Render a horizontal band of `rows` rows starting at y0.
+
+    The tile primitive for multi-chip pixel sharding (parallel/tiles.py);
+    y0 may be traced (jax.lax.axis_index inside shard_map).
+    """
+    w = config.width
+    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None, :],
+                          (rows, w))
+    py = jnp.broadcast_to(
+        jnp.asarray(y0, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
+        [:, None], (rows, w))
+    seeds = rng.pixel_seed(px, py, frame)
+
+    acc = jnp.zeros((rows * w, 3), jnp.float32)
+    for s in range(config.spp):
+        seeds_s = seeds + jnp.uint32(s * 0x9E3779B9)
+        if config.jitter:
+            jx, seeds_s = rng.rand(seeds_s)
+            jy, seeds_s = rng.rand(seeds_s)
+            # frame 0 uses the pixel center (ref: raytracing.slang:97).
+            is_f0 = frame == 0
+            jit = jnp.stack([jnp.where(is_f0, 0.5, jx),
+                             jnp.where(is_f0, 0.5, jy)], axis=-1)
+        else:
+            jit = None
+        o, d = primary_rays(cam.origin, cam.basis, cam.tan_half_fovy,
+                            cam.aspect, w, config.height, jitter=jit,
+                            y0=y0, rows=rows)
+        acc = acc + trace_paths(scene, accel, o.reshape(-1, 3),
+                                d.reshape(-1, 3), seeds_s.reshape(-1),
+                                config)
+    return (acc / jnp.float32(config.spp)).reshape(rows, w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_frame(scene: SceneData, accel, cam: CameraArrays,
+                 frame: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:
+    """Render one frame -> (H, W, 3) linear radiance.
+
+    The whole trace->shade pipeline is one XLA program; `frame` feeds
+    the per-pixel seed (ref: rgenMain, raytracing.slang:90-133).
+    """
+    return render_rows(scene, accel, cam, frame, 0, config.height, config)
+
+
+def render(scene_obj, cam: Camera, config: RenderConfig, accel=None,
+           frame: int = 0):
+    """Convenience host entry: build scene if needed, render one frame."""
+    from .models.scene import Scene
+
+    scene = scene_obj.build() if isinstance(scene_obj, Scene) else scene_obj
+    cams = camera_arrays(cam, config)
+    img = render_frame(scene, accel, cams, jnp.uint32(frame), config)
+    return jax.device_get(img)

@@ -1,0 +1,125 @@
+"""End-to-end frame program tests (config 1/2 of BASELINE.json)."""
+import numpy as np
+import jax.numpy as jnp
+
+from hrt_tpu.config import RenderConfig
+from hrt_tpu.models.camera import Camera
+from hrt_tpu.models.mesh import icosphere, plane
+from hrt_tpu.models.scene import Scene, reference_demo_scene
+from hrt_tpu.renderer import camera_arrays, render, render_frame
+
+SMALL = dict(width=64, height=48)
+
+
+def demo_scene():
+    sc = reference_demo_scene()
+    return sc
+
+
+def test_primary_render_runs_and_hits():
+    cfg = RenderConfig(max_depth=1, sky=False, **SMALL)
+    img = render(demo_scene(), Camera(), cfg)
+    assert img.shape == (48, 64, 3)
+    assert np.isfinite(img).all()
+    # lights exist -> some nonzero pixels
+    assert img.max() > 0.0
+
+
+def test_miss_is_black_in_parity_mode():
+    sc = Scene()
+    sc.add_mesh(plane(0.01))  # tiny plane: most rays miss
+    sc.create_material()
+    sc.create_instance(0, 0, position=(0, 50, 0))
+    cfg = RenderConfig(max_depth=1, sky=False, **SMALL)
+    img = render(sc, Camera(), cfg)
+    assert (img == 0).mean() > 0.9
+
+
+def test_sky_mode_nonblack_miss():
+    sc = Scene()
+    sc.add_mesh(plane(0.01))
+    sc.create_material()
+    sc.create_instance(0, 0, position=(0, 50, 0))
+    cfg = RenderConfig(max_depth=1, sky=True, **SMALL)
+    img = render(sc, Camera(), cfg)
+    assert img.mean() > 0.01
+
+
+def test_shadowing_darkens():
+    """A blocker between light and plane must darken the shadowed area."""
+    base = Scene()
+    base.add_mesh(plane(2.0))
+    base.create_material((1, 1, 1), 0.0, 1.0)
+    base.create_instance(0, 0, position=(0, 1, 0))
+    base.create_light((0, -2, 0), (1, 1, 1), 8.0)
+    cfg = RenderConfig(max_depth=1, sky=False, **SMALL)
+    cam = Camera(position=(0, -0.5, -3), rotation=(-0.35, 0, 0))
+    img_nb = render(base, cam, cfg)
+
+    blocked = Scene()
+    blocked.add_mesh(plane(2.0))
+    blocked.add_mesh(plane(0.5))
+    blocked.create_material((1, 1, 1), 0.0, 1.0)
+    blocked.create_instance(0, 0, position=(0, 1, 0))
+    blocked.create_instance(1, 0, position=(0, -0.5, 0))  # blocker above
+    blocked.create_light((0, -2, 0), (1, 1, 1), 8.0)
+    img_b = render(blocked, cam, cfg)
+    assert img_b.sum() < img_nb.sum() * 0.98
+
+
+def test_light_falloff_inverse_square():
+    sc = Scene()
+    sc.add_mesh(plane(4.0))
+    sc.create_material((1, 1, 1), 0.0, 1.0)
+    sc.create_instance(0, 0, position=(0, 1, 0))
+    sc.create_light((0, 0.0, 0), (1, 1, 1), 1.0)  # 1 unit above plane
+    cfg = RenderConfig(max_depth=1, sky=False, **SMALL)
+    cam = Camera(position=(0, -1, -4), rotation=(-0.4, 0, 0))
+    img1 = render(sc, cam, cfg)
+
+    sc2 = Scene()
+    sc2.add_mesh(plane(4.0))
+    sc2.create_material((1, 1, 1), 0.0, 1.0)
+    sc2.create_instance(0, 0, position=(0, 1, 0))
+    sc2.create_light((0, -1.0, 0), (1, 1, 1), 1.0)  # 2 units above plane
+    img2 = render(sc2, cam, cfg)
+    assert img2.max() < img1.max()
+
+
+def test_render_deterministic():
+    cfg = RenderConfig(max_depth=1, **SMALL)
+    a = render(demo_scene(), Camera(), cfg, frame=0)
+    b = render(demo_scene(), Camera(), cfg, frame=0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_indirect_adds_energy():
+    """GI must add light relative to direct-only in an enclosed scene."""
+    def build():
+        sc = Scene()
+        sc.add_mesh(plane(2.0))
+        sc.create_material((0.8, 0.8, 0.8), 0.0, 1.0)
+        sc.create_instance(0, 0, position=(0, 1, 0))
+        # wall reflecting light back
+        sc.create_instance(0, 0, position=(0, -1, 0), rotation=(np.pi, 0, 0))
+        sc.create_light((0.5, 0, 0.0), (1, 1, 1), 4.0)
+        return sc
+
+    cam = Camera(position=(0, 0, -3.5))
+    direct = render(build(), cam,
+                    RenderConfig(max_depth=1, **SMALL))
+    gi = render(build(), cam,
+                RenderConfig(max_depth=3, indirect=True, spp=2,
+                             jitter=True, **SMALL))
+    assert np.isfinite(gi).all()
+    assert gi.sum() > direct.sum()
+
+
+def test_jit_cache_reuse():
+    """Same config -> one compilation (cache hit on second call)."""
+    cfg = RenderConfig(max_depth=1, **SMALL)
+    sc = demo_scene().build()
+    cams = camera_arrays(Camera(), cfg)
+    f1 = render_frame(sc, None, cams, jnp.uint32(0), cfg)
+    f2 = render_frame(sc, None, cams, jnp.uint32(1), cfg)
+    assert f1.shape == f2.shape
