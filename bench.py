@@ -54,13 +54,9 @@ def main() -> None:
     cams = camera_arrays(Camera(position=(0.0, -1.0, -6.0),
                                 rotation=(-0.15, 0.0, 0.0)), cfg)
 
-    accel = None
-    try:
-        from hrt_tpu.ops import lbvh
+    from hrt_tpu.ops import lbvh
 
-        accel = lbvh.build_bvh(scene)
-    except (ImportError, AttributeError):
-        pass
+    accel = lbvh.build_bvh(scene, leaf_size=16)
 
     # Warmup / compile.
     img = render_frame(scene, accel, cams, jnp.uint32(0), cfg)

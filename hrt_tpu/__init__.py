@@ -21,3 +21,17 @@ Graphics/RayTracing/RTPipeline.cpp:41-43).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: traversal kernels are expensive to
+# compile (minutes); cache hits bring reruns down to seconds.
+if not _os.environ.get("HRT_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache = _os.environ.get(
+        "HRT_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "hrt_tpu_xla"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,332 @@
+"""LBVH build, entirely on device (jit-compatible).
+
+Replaces the driver-side BLAS/TLAS build the reference calls at
+Scene.cpp:256-311 (PREFER_FAST_TRACE) and implements the `prepareRendering`
+LBVH the reference stubs out (Scene.cpp:135-138).  Pipeline:
+
+  1. triangle centroids + AABBs           (vector math)
+  2. 30-bit Morton codes                  (ops/morton.py)
+  3. sort by code                         (jnp.argsort -> XLA sort)
+  4. cluster K consecutive tris per leaf  (contiguous leaf blocks)
+  5. Karras-2012 radix-tree emit          (branch-free, all-nodes-parallel)
+  6. AABB refit                           (fixed-depth bottom-up sweeps)
+
+Leaves are K consecutive triangles of the sorted order, so the
+traversal kernel reads contiguous SoA blocks — no per-triangle gathers
+(the TPU equivalent of the RT cores' cache-friendly leaf layout).
+
+Child encoding: child >= 0 -> internal node id; child < 0 -> leaf id
+-(child+1), covering triangles [leaf*K, (leaf+1)*K).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import SceneData
+from . import morton
+
+I32 = jnp.int32
+_REFIT_DEPTH = 64  # radix tree depth bound: 30 morton bits + index tiebreak
+
+
+class BVH(NamedTuple):
+    """Flat two-children BVH + leaf-reordered triangle pool."""
+
+    child_l: jnp.ndarray   # (Ni,) i32
+    child_r: jnp.ndarray   # (Ni,) i32
+    bmin_l: jnp.ndarray    # (Ni, 3) f32 — left child AABB
+    bmax_l: jnp.ndarray    # (Ni, 3)
+    bmin_r: jnp.ndarray    # (Ni, 3)
+    bmax_r: jnp.ndarray    # (Ni, 3)
+    tri_v0: jnp.ndarray    # (T, 3) leaf-ordered
+    tri_e1: jnp.ndarray    # (T, 3)
+    tri_e2: jnp.ndarray    # (T, 3)
+    tri_perm: jnp.ndarray  # (T,) i32: leaf-ordered -> original triangle id
+
+    @property
+    def num_internal(self) -> int:
+        return self.child_l.shape[0]
+
+    @property
+    def leaf_size(self) -> int:
+        # T / (Ni + 1): Ni = num_leaves - 1 for a full binary tree.
+        return self.tri_v0.shape[0] // (self.child_l.shape[0] + 1)
+
+
+class FlatBVH(NamedTuple):
+    """Skip-link (threaded) BVH in DFS preorder, laid out for the Pallas
+    packet kernel: every component is a (rows, 128) array so node/tri
+    fetches are single-row dynamic slices + lane extraction — no gathers.
+
+    nodes: (6, Mp//128, 128) f32 — bminx,bminy,bminz,bmaxx,bmaxy,bmaxz
+    meta:  (2, Mp//128, 128) i32 — [0]: 0=internal, else tri_start+1
+                                   [1]: skip index (next DFS subtree)
+    tris:  (9, Tp//128, 128) f32 — v0xyz, e1xyz, e2xyz (leaf order)
+    """
+
+    nodes: jnp.ndarray
+    meta: jnp.ndarray
+    tris: jnp.ndarray
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.nodes.shape[1] * 128
+
+
+class Accel(NamedTuple):
+    """Both traversal representations: `tree` for the jnp stack machine,
+    `flat` for the Pallas packet kernel.  num_nodes = 2*L-1 is implied
+    by tree shapes (static)."""
+
+    tree: BVH
+    flat: FlatBVH
+
+
+def _clz32(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.clz(x.astype(jnp.uint32)).astype(I32)
+
+
+def _delta_fn(keys: jnp.ndarray):
+    """delta(i, j): common-prefix length of augmented keys, -1 out of
+    range (Karras 2012 sec. 3; index-XOR tiebreak for duplicates)."""
+    n = keys.shape[0]
+
+    def delta(i, j):
+        valid = (j >= 0) & (j <= n - 1)
+        j_safe = jnp.clip(j, 0, n - 1)
+        ki = keys[i]
+        kj = keys[j_safe]
+        x = ki ^ kj
+        d = jnp.where(
+            x == 0,
+            32 + _clz32((i ^ j_safe).astype(jnp.uint32)),
+            _clz32(x),
+        )
+        return jnp.where(valid, d, -1)
+
+    return delta
+
+
+def karras_hierarchy(keys: jnp.ndarray):
+    """Emit the radix tree over sorted keys: (child_l, child_r), each
+    (n-1,) i32 with leaves encoded as -(leaf+1).  Fully parallel over
+    internal nodes; binary searches unrolled over descending powers of
+    two (branch-free, static trip count)."""
+    n = keys.shape[0]
+    delta = _delta_fn(keys)
+    i = jnp.arange(n - 1, dtype=I32)
+
+    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(I32)
+    d = jnp.where(d == 0, 1, d)
+    delta_min = delta(i, i - d)
+
+    # Range length l: largest l with delta(i, i + l*d) > delta_min.
+    l = jnp.zeros_like(i)
+    p = 1 << 30
+    while p >= 1:
+        t = jnp.full_like(i, p)
+        cand = l + t
+        ok = delta(i, i + cand * d) > delta_min
+        l = jnp.where(ok, cand, l)
+        p >>= 1
+    j = i + l * d
+    delta_node = delta(i, j)
+
+    # Split position s: largest s with delta(i, i + s*d) > delta_node.
+    s = jnp.zeros_like(i)
+    p = 1 << 30
+    while p >= 1:
+        t = jnp.full_like(i, p)
+        cand = s + t
+        ok = (cand < l) & (delta(i, i + cand * d) > delta_node)
+        s = jnp.where(ok, cand, s)
+        p >>= 1
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    left = jnp.where(lo == gamma, -(gamma + 1), gamma)
+    right = jnp.where(hi == gamma + 1, -(gamma + 2), gamma + 1)
+    return left, right
+
+
+def refit(child_l, child_r, leaf_min, leaf_max):
+    """Bottom-up AABB propagation by fixed-depth sweeps.
+
+    Each sweep recomputes every internal node's box from its children;
+    after k sweeps all nodes with subtree height <= k are final.  Depth
+    of a Karras radix tree is bounded by the augmented key length, so
+    _REFIT_DEPTH sweeps converge for any input.  Returns per-node child
+    boxes (bmin_l, bmax_l, bmin_r, bmax_r)."""
+    ni = child_l.shape[0]
+    leaf_of = lambda c: -(c + 1)
+
+    def child_box(c, agg_min, agg_max):
+        is_leaf = c < 0
+        lidx = jnp.clip(leaf_of(c), 0, leaf_min.shape[0] - 1)
+        nidx = jnp.clip(c, 0, ni - 1)
+        bmin = jnp.where(is_leaf[:, None], leaf_min[lidx], agg_min[nidx])
+        bmax = jnp.where(is_leaf[:, None], leaf_max[lidx], agg_max[nidx])
+        return bmin, bmax
+
+    def sweep(_, carry):
+        agg_min, agg_max = carry
+        lmin, lmax = child_box(child_l, agg_min, agg_max)
+        rmin, rmax = child_box(child_r, agg_min, agg_max)
+        return jnp.minimum(lmin, rmin), jnp.maximum(lmax, rmax)
+
+    init = (jnp.full((ni, 3), jnp.inf, jnp.float32),
+            jnp.full((ni, 3), -jnp.inf, jnp.float32))
+    agg_min, agg_max = jax.lax.fori_loop(0, _REFIT_DEPTH, sweep, init)
+    bmin_l, bmax_l = child_box(child_l, agg_min, agg_max)
+    bmin_r, bmax_r = child_box(child_r, agg_min, agg_max)
+    return bmin_l, bmax_l, bmin_r, bmax_r
+
+
+def _masked_scatter(dst, idx, val, mask):
+    """dst[idx] = val where mask (out-of-bounds drop trick)."""
+    oob = dst.shape[0]
+    return dst.at[jnp.where(mask, idx, oob)].set(val, mode="drop")
+
+
+def flatten_bvh(bvh: BVH, leaf_min, leaf_max) -> FlatBVH:
+    """Linearize the Karras tree into DFS preorder with skip links.
+
+    All on device: subtree sizes and preorder positions are computed by
+    the same fixed-depth sweep trick as refit() (top-down/bottom-up
+    propagation converges within the radix-tree depth bound).  The
+    resulting walk visits strictly increasing indices: hit-internal ->
+    +1, otherwise -> skip, which is what lets the Pallas kernel stream
+    nodes with a single scalar cursor.
+    """
+    ni = bvh.child_l.shape[0]
+    nl = ni + 1
+    cl, cr = bvh.child_l, bvh.child_r
+
+    def subtree(sz, c):
+        return jnp.where(c < 0, 1, sz[jnp.clip(c, 0, ni - 1)])
+
+    # Bottom-up subtree sizes.
+    def size_sweep(_, sz):
+        return 1 + subtree(sz, cl) + subtree(sz, cr)
+
+    sz = jax.lax.fori_loop(0, _REFIT_DEPTH, size_sweep,
+                           jnp.ones((ni,), I32))
+
+    # Top-down preorder positions.
+    lsize = subtree(sz, cl)
+
+    def pre_sweep(_, carry):
+        pre_i, pre_l = carry
+        lpos = pre_i + 1
+        rpos = pre_i + 1 + lsize
+        new_i = pre_i
+        new_l = pre_l
+        new_i = _masked_scatter(new_i, jnp.clip(cl, 0, ni - 1), lpos,
+                                cl >= 0)
+        new_i = _masked_scatter(new_i, jnp.clip(cr, 0, ni - 1), rpos,
+                                cr >= 0)
+        new_l = _masked_scatter(new_l, jnp.clip(-(cl + 1), 0, nl - 1),
+                                lpos, cl < 0)
+        new_l = _masked_scatter(new_l, jnp.clip(-(cr + 1), 0, nl - 1),
+                                rpos, cr < 0)
+        return new_i, new_l
+
+    pre_i, pre_l = jax.lax.fori_loop(
+        0, _REFIT_DEPTH, pre_sweep,
+        (jnp.zeros((ni,), I32), jnp.zeros((nl,), I32)))
+
+    m = ni + nl
+    mp = ((m + 127) // 128) * 128
+    k = bvh.tri_v0.shape[0] // nl
+
+    own_min_i = jnp.minimum(bvh.bmin_l, bvh.bmin_r)
+    own_max_i = jnp.maximum(bvh.bmax_l, bvh.bmax_r)
+
+    big = jnp.float32(3e38)
+    comps = []
+    for axis in range(3):
+        arr = jnp.full((mp,), big, jnp.float32)
+        arr = arr.at[pre_i].set(own_min_i[:, axis])
+        arr = arr.at[pre_l].set(leaf_min[:, axis])
+        comps.append(arr)
+    for axis in range(3):
+        arr = jnp.full((mp,), -big, jnp.float32)
+        arr = arr.at[pre_i].set(own_max_i[:, axis])
+        arr = arr.at[pre_l].set(leaf_max[:, axis])
+        comps.append(arr)
+    nodes = jnp.stack(comps).reshape(6, mp // 128, 128)
+
+    leaf_code = jnp.zeros((mp,), I32)
+    leaf_code = leaf_code.at[pre_l].set(
+        jnp.arange(nl, dtype=I32) * k + 1)
+    skip = jnp.full((mp,), m, I32)
+    skip = skip.at[pre_i].set(pre_i + sz)
+    skip = skip.at[pre_l].set(pre_l + 1)
+    meta = jnp.stack([leaf_code, skip]).reshape(2, mp // 128, 128)
+
+    t = bvh.tri_v0.shape[0]
+    tris = jnp.stack([
+        bvh.tri_v0[:, 0], bvh.tri_v0[:, 1], bvh.tri_v0[:, 2],
+        bvh.tri_e1[:, 0], bvh.tri_e1[:, 1], bvh.tri_e1[:, 2],
+        bvh.tri_e2[:, 0], bvh.tri_e2[:, 1], bvh.tri_e2[:, 2],
+    ]).reshape(9, t // 128, 128)
+    return FlatBVH(nodes=nodes, meta=meta, tris=tris)
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size",))
+def build_bvh(scene: SceneData, leaf_size: int = 8) -> Accel:
+    """Full on-device LBVH build over the scene's triangle pool."""
+    v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+    valid = scene.tri_valid > 0.5
+    t = v0.shape[0]
+    assert t % leaf_size == 0 and t // leaf_size >= 2, \
+        "triangle pool padding must give >= 2 leaves"
+
+    v1 = v0 + e1
+    v2 = v0 + e2
+    tmin = jnp.minimum(v0, jnp.minimum(v1, v2))
+    tmax = jnp.maximum(v0, jnp.maximum(v1, v2))
+    centroid = (tmin + tmax) * 0.5
+
+    big = jnp.float32(3e38)
+    vmask = valid[:, None]
+    scene_min = jnp.min(jnp.where(vmask, tmin, big), axis=0)
+    scene_max = jnp.max(jnp.where(vmask, tmax, -big), axis=0)
+
+    codes = morton.morton_codes(centroid, scene_min, scene_max)
+    # Padding sorts to the end (codes are 30-bit, so this is past them).
+    codes = jnp.where(valid, codes, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(codes)
+    codes_sorted = codes[order]
+
+    v0s, e1s, e2s = v0[order], e1[order], e2[order]
+    valid_s = valid[order]
+    tmin_s, tmax_s = tmin[order], tmax[order]
+
+    # Leaf AABBs over K-blocks; invalid tris contribute empty boxes.
+    n_leaf = t // leaf_size
+    lmin = jnp.min(
+        jnp.where(valid_s[:, None], tmin_s, big)
+        .reshape(n_leaf, leaf_size, 3), axis=1)
+    lmax = jnp.max(
+        jnp.where(valid_s[:, None], tmax_s, -big)
+        .reshape(n_leaf, leaf_size, 3), axis=1)
+
+    # Cluster key: the first code of each block (sorted order preserved).
+    leaf_keys = codes_sorted.reshape(n_leaf, leaf_size)[:, 0]
+
+    child_l, child_r = karras_hierarchy(leaf_keys)
+    bmin_l, bmax_l, bmin_r, bmax_r = refit(child_l, child_r, lmin, lmax)
+
+    tree = BVH(
+        child_l=child_l, child_r=child_r,
+        bmin_l=bmin_l, bmax_l=bmax_l, bmin_r=bmin_r, bmax_r=bmax_r,
+        tri_v0=v0s, tri_e1=e1s, tri_e2=e2s,
+        tri_perm=order.astype(I32),
+    )
+    return Accel(tree=tree, flat=flatten_bvh(tree, lmin, lmax))

@@ -1,0 +1,299 @@
+"""Pallas packet BVH traversal — the TPU replacement for GPU RT cores.
+
+Strategy (the "ray packet" classic, re-tuned for the VPU): each grid
+step owns a tile of TILE=1024 rays held as (8, 128) component planes in
+vector registers.  The whole tile walks the skip-link flat BVH
+(lbvh.FlatBVH) together with ONE scalar cursor:
+
+  - node fetch = dynamic row slice of a (rows, 128) VMEM array + lane
+    extraction via a one-hot reduction — no gathers, no DMA per node;
+  - the node AABB is slab-tested against all 1024 rays in one shot on
+    the VPU (~20 ops on (8,128) registers per node);
+  - any-ray-hit on an internal node descends (cursor+1), otherwise the
+    cursor jumps the subtree (skip link) — strictly monotonic walk;
+  - leaves are K contiguous triangles: K Moller-Trumbore evaluations,
+    each against all 1024 rays.
+
+Divergence is paid as wasted lanes inside a tile instead of masked-off
+SIMT threads; the wavefront pipeline sorts rays into coherent tiles to
+keep that waste low (ops/wavefront.py).
+
+Hardware analogue in the reference: TraceRay closest-hit/any-hit modes
+(shaders/raytracing.slang:67,121) incl. ACCEPT_FIRST_HIT_AND_END_SEARCH
+for shadows (early exit when every lane is occluded).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_ROWS = 64   # rays per tile = TILE_ROWS * 128 (amortizes the
+TILE_LANES = 128  # serial per-node scalar work over more rays)
+TILE = TILE_ROWS * TILE_LANES
+INF = jnp.float32(1e32)
+# VMEM budget gate: nodes (8 comps) + tris (9 comps) must fit ~12 MB.
+MAX_VMEM_F32 = 3_000_000
+
+
+def available() -> bool:
+    return True
+
+
+def _vmem_ok(flat) -> bool:
+    n = flat.nodes.size + flat.meta.size + flat.tris.size
+    return n <= MAX_VMEM_F32
+
+
+def _lane_scalar(row, lane):
+    """Extract lane `lane` (traced scalar) of a (1, 128) row as a scalar."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_LANES), 1)
+    return jnp.sum(jnp.where(idx == lane, row, 0))
+
+
+def _lane_vec(row, lane):
+    """Extract a lane as a (1, 1) VECTOR (broadcasts against ray planes
+    without a vector->scalar-unit roundtrip — the per-visit hot path)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_LANES), 1)
+    return jnp.sum(jnp.where(idx == lane, row, 0), axis=-1, keepdims=True)
+
+
+def _node_fetch(nodes_ref, meta_ref, cur):
+    """Fetch one flat-BVH node: 6 box values as (1,1) vectors + 2 i32
+    control scalars (leaf_code, skip)."""
+    row = cur // TILE_LANES
+    lane = cur % TILE_LANES
+    box = [
+        _lane_vec(nodes_ref[c, pl.ds(row, 1), :], lane)
+        for c in range(6)
+    ]
+    leaf_code = _lane_scalar(meta_ref[0, pl.ds(row, 1), :], lane)
+    skip = _lane_scalar(meta_ref[1, pl.ds(row, 1), :], lane)
+    return box, leaf_code, skip
+
+
+def _leaf_tri_rows(tris_ref, start):
+    """Load the 9 component rows covering a K-aligned leaf block once;
+    per-triangle values are lane extractions from these shared rows.
+    Requires leaf blocks to never straddle a 128-lane row (K | 128)."""
+    row = start // TILE_LANES
+    return [tris_ref[c, pl.ds(row, 1), :] for c in range(9)]
+
+
+def _tri_vecs(rows, lane):
+    """One triangle's 9 values as (1,1) vectors from preloaded rows."""
+    return [_lane_vec(r, lane) for r in rows]
+
+
+def _slab_test(box, oix, oiy, oiz, ix, iy, iz, t_min, t_limit):
+    """AABB slab test of one scalar box against the whole ray tile.
+
+    Takes precomputed oi* = o*inv_d so each plane distance is a single
+    FMA: t = bmin*inv_d - o*inv_d."""
+    bminx, bminy, bminz, bmaxx, bmaxy, bmaxz = box
+    tx0 = bminx * ix - oix
+    tx1 = bmaxx * ix - oix
+    ty0 = bminy * iy - oiy
+    ty1 = bmaxy * iy - oiy
+    tz0 = bminz * iz - oiz
+    tz1 = bmaxz * iz - oiz
+    t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.minimum(tz0, tz1))
+    t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+    return jnp.maximum(t_near, t_min) <= jnp.minimum(t_far, t_limit)
+
+
+def _moller(tri, ox, oy, oz, dx, dy, dz, t_min, t_limit):
+    """One scalar triangle vs the ray tile. Returns (hit, t, u, v)."""
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = tri
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t > t_min) & (t < t_limit))
+    return hit, t, u, v
+
+
+def _make_kernel(m_real: int, leaf_size: int, t_min: float,
+                 find_closest: bool):
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               nodes_ref, meta_ref, tris_ref,
+               t_ref, tri_ref, u_ref, v_ref):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        tiny = jnp.float32(1e-20)
+
+        def inv(c):
+            safe = jnp.where(jnp.abs(c) < tiny,
+                             jnp.where(c < 0, -tiny, tiny), c)
+            return 1.0 / safe
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+        tmin = jnp.float32(t_min)
+
+        best_t0 = tmax_ref[:]
+        best_i0 = jnp.full((TILE_ROWS, TILE_LANES), -1, jnp.int32)
+        zer = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+
+        def cond(state):
+            cur = state[0]
+            if find_closest:
+                return cur < m_real
+            # shadow mode: stop early once every lane is occluded
+            return (cur < m_real) & jnp.logical_not(
+                jnp.all(state[2] >= 0))
+
+        def body(state):
+            cur, best_t, best_i, bu, bv = state
+            box, leaf_code, skip = _node_fetch(nodes_ref, meta_ref, cur)
+            hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin, best_t)
+            any_hit = jnp.any(hit)
+            is_leaf = leaf_code > 0
+
+            def do_leaf(args):
+                best_t, best_i, bu, bv = args
+                start = leaf_code - 1
+                lane0 = start % TILE_LANES
+                rows = _leaf_tri_rows(tris_ref, start)
+
+                # 4-wide unroll inside a rolled loop: full unrolling
+                # blew up Mosaic compile time ~9x, fully rolled cost
+                # ~16% runtime; this is the measured sweet spot.
+                unroll = min(4, leaf_size)
+
+                def tri_body(g, args):
+                    best_t, best_i, bu, bv = args
+                    for kk in range(unroll):
+                        k = g * unroll + kk
+                        tri = _tri_vecs(rows, lane0 + k)
+                        h, t, u, v = _moller(tri, ox, oy, oz, dx, dy, dz,
+                                             tmin, best_t)
+                        best_i = jnp.where(h, start + k, best_i)
+                        if find_closest:
+                            bu = jnp.where(h, u, bu)
+                            bv = jnp.where(h, v, bv)
+                            best_t = jnp.where(h, t, best_t)
+                    return best_t, best_i, bu, bv
+
+                return jax.lax.fori_loop(0, leaf_size // unroll, tri_body,
+                                         (best_t, best_i, bu, bv))
+
+            take_leaf = any_hit & is_leaf
+            best_t, best_i, bu, bv = jax.lax.cond(
+                take_leaf, do_leaf, lambda a: a, (best_t, best_i, bu, bv))
+
+            descend = any_hit & jnp.logical_not(is_leaf)
+            cur = jnp.where(descend, cur + 1, skip)
+            return cur, best_t, best_i, bu, bv
+
+        state = (jnp.int32(0), best_t0, best_i0, zer, zer)
+        _, best_t, best_i, bu, bv = jax.lax.while_loop(cond, body, state)
+        t_ref[:] = best_t
+        tri_ref[:] = best_i
+        u_ref[:] = bu
+        v_ref[:] = bv
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_real", "leaf_size", "t_min",
+                                    "find_closest"))
+def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_meta,
+                 flat_tris, m_real: int, leaf_size: int, t_min: float,
+                 find_closest: bool):
+    """Run the packet kernel over all ray tiles.
+
+    Ray components are (R, 128) with R a multiple of 8; tile i owns rows
+    [8i, 8i+8).  Returns (t, tri, u, v) in the same layout."""
+    rows = ox.shape[0]
+    n_tiles = rows // TILE_ROWS
+    kernel = _make_kernel(m_real, leaf_size, t_min, find_closest)
+
+    ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[ray_spec] * 7 + [table_spec] * 3,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        interpret=(jax.default_backend() == "cpu"),
+    )(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_meta, flat_tris)
+
+
+def _to_tiles(x: jnp.ndarray, n_pad: int, fill=0.0):
+    x = jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
+    return x.reshape(-1, TILE_LANES)
+
+
+def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
+    flat = accel.flat
+    n = o.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    nl = accel.tree.child_l.shape[0] + 1
+    m_real = 2 * nl - 1
+    leaf_size = accel.tree.tri_v0.shape[0] // nl
+
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    comps = [_to_tiles(o[:, 0], n_pad), _to_tiles(o[:, 1], n_pad),
+             _to_tiles(o[:, 2], n_pad), _to_tiles(d[:, 0], n_pad),
+             _to_tiles(d[:, 1], n_pad), _to_tiles(d[:, 2], n_pad),
+             _to_tiles(tmax, n_pad, fill=-1.0)]  # padded rays hit nothing
+    t, tri, u, v = _trace_tiles(
+        *comps, flat.nodes, flat.meta, flat.tris,
+        m_real=m_real, leaf_size=leaf_size, t_min=float(t_min),
+        find_closest=find_closest)
+    flat_out = lambda a: a.reshape(-1)[:n]
+    return flat_out(t), flat_out(tri), flat_out(u), flat_out(v)
+
+
+def closest_hit(scene, accel, o, d, t_min, t_max):
+    """(t, original_tri_id, u, v) — signature of renderer.trace_closest."""
+    if not _vmem_ok(accel.flat):
+        from . import traversal
+
+        return traversal.closest_hit_bvh(scene, accel, o, d, t_min, t_max,
+                                         use_pallas=False)
+    t, tri_sorted, u, v = _run(scene, accel, o, d, t_min, t_max, True)
+    tri = jnp.where(tri_sorted >= 0,
+                    accel.tree.tri_perm[jnp.maximum(tri_sorted, 0)], -1)
+    return t, tri, u, v
+
+
+def any_hit(scene, accel, o, d, t_min, t_max):
+    """Occlusion query (shadow rays): bool (N,)."""
+    if not _vmem_ok(accel.flat):
+        from . import traversal
+
+        return traversal.any_hit_bvh(scene, accel, o, d, t_min, t_max,
+                                     use_pallas=False)
+    _, tri_sorted, _, _ = _run(scene, accel, o, d, t_min, t_max, False)
+    return tri_sorted >= 0

@@ -1,0 +1,57 @@
+"""Wavefront ray-batch utilities: coherence ordering + compaction.
+
+The reference relies on the GPU scheduler to keep SIMT warps coherent
+(H3 in SURVEY.md); on TPU the packet kernel's efficiency is set by how
+similar the rays inside a tile are.  These helpers reorder flat ray
+batches so each traversal tile sees a compact pixel block (primary
+rays) or a direction-coherent cluster (bounce rays).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=32)
+def block_order(h: int, w: int, bh: int, bw: int):
+    """Permutation mapping block-major order -> row-major flat index.
+
+    perm[i] = flat index of the i-th ray when the (h, w) grid is walked
+    in (bh, bw) pixel blocks.  Returns (perm, inv_perm) as numpy arrays
+    (static, cached — they depend only on the image geometry).
+    """
+    assert h % bh == 0 and w % bw == 0
+    ys = np.arange(h)
+    xs = np.arange(w)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    flat = (yy * w + xx)
+    blocks = flat.reshape(h // bh, bh, w // bw, bw).transpose(0, 2, 1, 3)
+    perm = blocks.reshape(-1)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm, inv
+
+
+def direction_order(d: jnp.ndarray):
+    """Sort keys clustering rays by direction octant then dominant axis
+    value — cheap coherence for bounce/shadow batches.  Returns the
+    permutation (device array)."""
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    octant = ((dx > 0).astype(jnp.int32)
+              | ((dy > 0).astype(jnp.int32) << 1)
+              | ((dz > 0).astype(jnp.int32) << 2))
+    # secondary key: quantized polar angle of the dominant axes
+    key = octant.astype(jnp.float32) * 16.0 + (dy * 4.0 + dz)
+    return jnp.argsort(key)
+
+
+def compact_mask(active: jnp.ndarray):
+    """Stable partition permutation putting active rays first.
+
+    Static-shaped `sort by !active` — the XLA-friendly replacement for
+    dynamic stream compaction.  Returns (perm, num_active)."""
+    inactive = jnp.logical_not(active).astype(jnp.int32)
+    perm = jnp.argsort(inactive, stable=True)
+    return perm, jnp.sum(active.astype(jnp.int32))

@@ -95,7 +95,8 @@ def trace_any(scene: SceneData, accel, o, d, t_min, t_max,
         from .ops import traversal
 
         return traversal.any_hit_bvh(scene, accel, o, d, t_min, t_max,
-                                     use_pallas=(mode == "pallas"))
+                                     use_pallas=(mode in ("pallas",
+                                                          "auto")))
     n = o.shape[0]
     block = _ray_block_size(n, scene.num_triangles)
 
@@ -145,15 +146,19 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
     l = normalize(ldir)                               # (N, L, 3)
     f = brdf(mat_rows[:, None, :], n[:, None, :], view[:, None, :], l)
 
-    # Shadow rays (ref: testShadow, raytracing.slang:56-70).
+    # Shadow rays (ref: testShadow, raytracing.slang:56-70).  Flattened
+    # LIGHT-major so each traversal tile sees rays toward one light from
+    # adjacent pixels — much more coherent packets than ray-major.
     shadow_o = world_pos + n * config.normal_offset
     nrays = world_pos.shape[0]
-    so = jnp.broadcast_to(shadow_o[:, None, :], l.shape).reshape(-1, 3)
-    sd = l.reshape(-1, 3)
-    st = length(ldir).reshape(-1)
-    occluded = trace_any(scene, accel, so, sd, jnp.float32(config.t_min),
+    so = jnp.broadcast_to(shadow_o[None, :, :],
+                          (num_lights, nrays, 3)).reshape(-1, 3)
+    sd = jnp.swapaxes(l, 0, 1).reshape(-1, 3)
+    st = jnp.swapaxes(length(ldir), 0, 1).reshape(-1)
+    occluded = trace_any(scene, accel, so, sd, config.t_min,
                          st, config)
-    visible = 1.0 - occluded.reshape(nrays, num_lights).astype(jnp.float32)
+    visible = 1.0 - jnp.swapaxes(
+        occluded.reshape(num_lights, nrays), 0, 1).astype(jnp.float32)
 
     contrib = f * lcol[None] * lint[..., None] * visible[..., None]
     # Threshold cull (ref: raytracing.slang:78-79).
@@ -211,7 +216,7 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
 
     for depth in range(config.max_depth):
         t, tri, u, v = trace_closest(
-            scene, accel, o, d, jnp.float32(config.t_min), INF, config)
+            scene, accel, o, d, config.t_min, INF, config)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,
@@ -293,9 +298,32 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
         o, d = primary_rays(cam.origin, cam.basis, cam.tan_half_fovy,
                             cam.aspect, w, config.height, jitter=jit,
                             y0=y0, rows=rows)
-        acc = acc + trace_paths(scene, accel, o.reshape(-1, 3),
-                                d.reshape(-1, 3), seeds_s.reshape(-1),
-                                config)
+        o = o.reshape(-1, 3)
+        d = d.reshape(-1, 3)
+        seeds_flat = seeds_s.reshape(-1)
+
+        # Pixel-block reorder: each traversal tile then sees a compact
+        # image block, maximizing packet coherence (ops/wavefront.py).
+        from .ops import traversal_pallas, wavefront
+
+        bh = traversal_pallas.TILE_ROWS
+        bw = traversal_pallas.TILE_LANES
+        # Measured on v5e: the row-strip layout a tile gets by default is
+        # already coherent; the explicit reorder costs more in gathers
+        # than it buys, so it is opt-in (config.block_reorder).
+        blocked = (config.block_reorder
+                   and config.traversal in ("pallas", "auto")
+                   and accel is not None
+                   and rows % bh == 0 and w % bw == 0)
+        if blocked:
+            perm, inv = wavefront.block_order(rows, w, bh, bw)
+            perm = jnp.asarray(perm)
+            o, d, seeds_flat = o[perm], d[perm], seeds_flat[perm]
+
+        rad = trace_paths(scene, accel, o, d, seeds_flat, config)
+        if blocked:
+            rad = rad[jnp.asarray(inv)]
+        acc = acc + rad
     return (acc / jnp.float32(config.spp)).reshape(rows, w, 3)
 
 
