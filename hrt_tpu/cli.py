@@ -82,19 +82,14 @@ def main(argv=None) -> None:
                            jitter=args.indirect, denoise=args.denoise,
                            traversal=args.traversal)
 
-    from .renderer import camera_arrays, render_frame
+    from .frameloop import FrameLoop
 
     build_step("SCENE", 0, 2, f"Loading scene '{args.scene}'...")
-    scene = load_scene(args.scene).build()
-    build_step("SCENE", 1, 2, "Building acceleration structure...")
-    accel = None
-    if cfg.traversal != "bruteforce":
-        try:
-            from .ops import lbvh
-
-            accel = jax.block_until_ready(lbvh.build_bvh(scene))
-        except ImportError:
-            logger.warning("LBVH unavailable; brute-force traversal")
+    scene_obj = load_scene(args.scene)
+    build_step("SCENE", 1, 2, "Building scene + acceleration structure...")
+    loop = FrameLoop(scene_obj, cfg,
+                     cull_threshold_px=1.0 if args.frames > 1 else 0.0)
+    scene = loop.scene
     build_step("SCENE", 2, 2, "Scene created!")
 
     stats = FrameStats()
@@ -104,10 +99,8 @@ def main(argv=None) -> None:
     for f in range(args.frames):
         if args.orbit:
             cam = orbit_camera(f * 0.15, radius=4.0, height=-1.0)
-        cams = camera_arrays(cam, cfg)
         t0 = time.perf_counter()
-        img = jax.block_until_ready(
-            render_frame(scene, accel, cams, jnp.uint32(f), cfg))
+        img = jax.block_until_ready(loop.step(cam))
         dt = time.perf_counter() - t0
         import bench as bench_mod
 

@@ -1,0 +1,152 @@
+"""Frame loop: the full quality pipeline as one jitted program.
+
+North star (BASELINE.json): `trace -> shade -> denoise -> upscale` in a
+single XLA program per frame.  This module is the TPU analogue of
+RTApp::run()'s per-frame work (ref: Graphics/RayTracing/RTApp.cpp:29-85)
+with the swapchain replaced by explicit state pytrees:
+
+- temporal accumulation buffer (the reference's `Uniform::frame`
+  counter is the seed; ref: RTPipeline.h:24-30, RTApp.cpp:47);
+- SVGF history (ops/denoise.DenoiseState);
+- instance visibility for the Smart-Culling pre-pass (ops/culling.py),
+  which triggers an LBVH rebuild when visibility changes;
+- optional learned 2x upscaler parameters (models/upscaler.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig
+from .models.camera import Camera
+from .models.scene import Scene, SceneData
+from .ops import culling, denoise, lbvh
+from .renderer import CameraArrays, camera_arrays, render_rows
+
+
+@functools.partial(jax.jit, static_argnames=("config", "net"))
+def frame_program(scene: SceneData, accel, cams: CameraArrays,
+                  prev_cams: CameraArrays, dn_state, accum, frame,
+                  config: RenderConfig, net=None, up_params=None):
+    """One fused frame: returns (output image, new denoise state,
+    new accumulation buffer)."""
+    h, w = config.height, config.width
+    out = render_rows(scene, accel, cams, frame, 0, h, config,
+                      want_gbuffer=config.denoise)
+    if config.denoise:
+        img, gbuffer = out
+    else:
+        img = out
+
+    if config.accumulate:
+        n = jnp.minimum(frame.astype(jnp.float32), 10000.0)
+        accum = (accum * n + img) / (n + 1.0)
+        img = accum
+
+    if config.denoise:
+        img, dn_state = denoise.svgf(dn_state, img, gbuffer, prev_cams,
+                                     w, h)
+
+    if config.upscale == 2 and net is not None and up_params is not None:
+        from .models import upscaler
+
+        img = upscaler.upscale(net, up_params, img)
+
+    return img, dn_state, accum
+
+
+@dataclasses.dataclass
+class FrameLoop:
+    """Host-side driver holding cross-frame state (RTApp::run analogue).
+
+    Usage:
+        loop = FrameLoop(scene, config)
+        img = loop.step(camera)          # one frame, state advances
+    """
+
+    scene_obj: Any
+    config: RenderConfig
+    upscaler_params: Optional[Any] = None
+    cull_threshold_px: float = 1.0
+
+    def __post_init__(self):
+        cfg = self.config
+        self.scene: SceneData = (
+            self.scene_obj.build() if isinstance(self.scene_obj, Scene)
+            else self.scene_obj)
+        self.leaf_size = 16
+        self.visible = jnp.ones(
+            (self.scene.inst_bmin.shape[0],), bool)
+        self.accel = (lbvh.build_bvh(self.scene, self.leaf_size)
+                      if cfg.traversal != "bruteforce" else None)
+        self.dn_state = denoise.init_state(cfg.height, cfg.width)
+        self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self.frame = 0
+        self.prev_cams: Optional[CameraArrays] = None
+        self.net = None
+        if cfg.upscale == 2:
+            from .models import upscaler
+
+            self.net, state, _ = upscaler.create()
+            if self.upscaler_params is None:
+                self.upscaler_params = state.params
+
+    def reset_history(self):
+        cfg = self.config
+        self.dn_state = denoise.init_state(cfg.height, cfg.width)
+        self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        self.frame = 0
+
+    def _maybe_cull(self, cams: CameraArrays):
+        if self.accel is None or self.cull_threshold_px <= 0:
+            return
+        new_vis = culling.cull_instances(
+            self.visible, self.scene.inst_bmin, self.scene.inst_bmax,
+            cams, self.config.width, self.config.height,
+            threshold_px=self.cull_threshold_px)
+        if bool(jnp.any(new_vis != self.visible)):
+            self.visible = new_vis
+            mask = culling.triangle_mask(new_vis, self.scene.tri_inst,
+                                         self.scene.tri_valid)
+            self.accel = lbvh.build_bvh(self.scene, self.leaf_size,
+                                        tri_mask=mask)
+
+    def step(self, camera: Camera) -> np.ndarray:
+        """Render the next frame; returns the final (possibly upscaled)
+        image as a device array."""
+        cams = camera_arrays(camera, self.config)
+        if self.prev_cams is None:
+            self.prev_cams = cams
+        self._maybe_cull(cams)
+        img, self.dn_state, self.accum = frame_program(
+            self.scene, self.accel, cams, self.prev_cams, self.dn_state,
+            self.accum, jnp.uint32(self.frame), self.config,
+            net=self.net, up_params=self.upscaler_params)
+        self.prev_cams = cams
+        self.frame += 1
+        return img
+
+    # ---- checkpoint / resume (SURVEY.md section 5) -------------------
+    def save_state(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            frame=self.frame,
+            accum=np.asarray(self.accum),
+            visible=np.asarray(self.visible),
+            **{f"dn_{k}": np.asarray(v)
+               for k, v in self.dn_state._asdict().items()},
+        )
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        self.frame = int(data["frame"])
+        self.accum = jnp.asarray(data["accum"])
+        self.visible = jnp.asarray(data["visible"])
+        self.dn_state = denoise.DenoiseState(
+            **{k: jnp.asarray(data[f"dn_{k}"])
+               for k in denoise.DenoiseState._fields})

@@ -53,6 +53,9 @@ class SceneData(NamedTuple):
     materials: jnp.ndarray  # (M, MAT_W) f32
     lights: jnp.ndarray     # (L, LIGHT_W) f32
     sky: jnp.ndarray        # (SKY_W_FULL,) f32
+    # Per-instance world AABBs (culling pre-pass, ops/culling.py):
+    inst_bmin: jnp.ndarray  # (I, 3) f32
+    inst_bmax: jnp.ndarray  # (I, 3) f32
 
     @property
     def num_triangles(self) -> int:
@@ -136,6 +139,7 @@ class Scene:
         n0s, n1s, n2s = [], [], []
         uv0s, uv1s, uv2s = [], [], []
         mats, insts = [], []
+        inst_bmin, inst_bmax = [], []
         for inst_id, inst in enumerate(self.instances):
             mesh = self.meshes[inst.mesh_id]
             m = inst.transform
@@ -155,6 +159,8 @@ class Scene:
             t = mesh.num_triangles
             mats.append(np.full(t, inst.material_id, np.int32))
             insts.append(np.full(t, inst_id, np.int32))
+            inst_bmin.append(pos.min(axis=0))
+            inst_bmax.append(pos.max(axis=0))
 
         def cat(xs):
             return np.concatenate(xs, axis=0).astype(np.float32)
@@ -168,11 +174,12 @@ class Scene:
         }
         t = host["tri_v0"].shape[0]
         host["tri_valid"] = np.ones(t, np.float32)
-        return host
+        return host, (np.stack(inst_bmin).astype(np.float32),
+                      np.stack(inst_bmax).astype(np.float32))
 
     def build(self, pad: int = PAD) -> SceneData:
         """ref: Scene::build (Scene.cpp:100-120) — flatten, pad, upload."""
-        host = self.build_host()
+        host, (inst_bmin, inst_bmax) = self.build_host()
         t = host["tri_v0"].shape[0]
         t_pad = ((t + pad - 1) // pad) * pad
         extra = t_pad - t
@@ -188,6 +195,8 @@ class Scene:
                 np.stack(self.lights) if self.lights
                 else np.zeros((0, lights_mod.LIGHT_W), np.float32)),
             sky=jnp.asarray(self.sky),
+            inst_bmin=jnp.asarray(inst_bmin),
+            inst_bmax=jnp.asarray(inst_bmax),
         )
 
 

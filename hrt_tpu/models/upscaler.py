@@ -1,0 +1,115 @@
+"""Learned 2x upscaler — the DLSS-Super-Resolution stand-in.
+
+The reference only advertises DLSS in window titles (ref: RTApp.cpp:3,
+App.cpp:31) with comment markers where it would run (RTApp.cpp:162-163);
+there is no implementation.  This is a real one: a small residual CNN
+on top of bilinear upsampling, jitted into the frame program (conv =
+MXU work, exactly what the TPU wants).  Trained self-supervised on
+rendered frames: downsample a rendered frame 2x, learn to reconstruct
+the original (models fit in a few thousand steps).
+
+Also doubles as the framework's "training loop" exemplar: `train_step`
+is a full optax/flax update compatible with data-parallel sharding
+(see parallel/tiles.py and __graft_entry__.dryrun_multichip).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import optax
+
+
+class UpscalerNet(nn.Module):
+    """Residual conv net predicting the bilinear-upsample residual."""
+
+    features: int = 32
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, lr):
+        """lr: (..., H, W, 3) linear radiance -> (..., 2H, 2W, 3)."""
+        h, w = lr.shape[-3], lr.shape[-2]
+        up = jax.image.resize(
+            lr, lr.shape[:-3] + (2 * h, 2 * w, 3), method="bilinear")
+        x = lr
+        for _ in range(self.depth):
+            x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+        # Pixel-shuffle head: predict 2x2x3 residual per LR pixel.
+        x = nn.Conv(12, (3, 3), padding="SAME")(x)
+        x = x.reshape(x.shape[:-3] + (h, w, 2, 2, 3))
+        x = jnp.swapaxes(x, -4, -3)  # (..., h, 2, w, 2, 3)
+        residual = x.reshape(x.shape[:-5] + (2 * h, 2 * w, 3))
+        return up + residual
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create(rng_key=None, features: int = 32, depth: int = 3,
+           lr: float = 1e-3):
+    """Returns (net, state, optimizer)."""
+    net = UpscalerNet(features=features, depth=depth)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    params = net.init(rng_key, jnp.zeros((1, 32, 32, 3), jnp.float32))
+    tx = optax.adam(lr)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    return net, state, tx
+
+
+def _loss_fn(params, net, lr_batch, hr_batch):
+    pred = net.apply(params, lr_batch)
+    # Charbonnier on tonemapped values: perceptually saner than L2 on HDR.
+    tm = lambda x: x / (1.0 + jnp.abs(x))
+    diff = tm(pred) - tm(hr_batch)
+    return jnp.mean(jnp.sqrt(diff * diff + 1e-6))
+
+
+@functools.partial(jax.jit, static_argnames=("net", "tx"))
+def train_step(state: TrainState, net: UpscalerNet, tx, lr_batch,
+               hr_batch):
+    """One optimizer update. Batches: (B, h, w, 3) and (B, 2h, 2w, 3)."""
+    loss, grads = jax.value_and_grad(_loss_fn)(state.params, net,
+                                               lr_batch, hr_batch)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x box downsample (the self-supervision pairing)."""
+    h, w = img.shape[-3], img.shape[-2]
+    x = img.reshape(img.shape[:-3] + (h // 2, 2, w // 2, 2, 3))
+    return x.mean(axis=(-4, -2))
+
+
+def self_supervised_batch(frames: jnp.ndarray, key, crop: int = 64,
+                          batch: int = 8):
+    """Random HR crops + their downsamples from a stack of rendered
+    frames (F, H, W, 3)."""
+    f, h, w, _ = frames.shape
+    kf, ky, kx = jax.random.split(key, 3)
+    fi = jax.random.randint(kf, (batch,), 0, f)
+    ys = jax.random.randint(ky, (batch,), 0, h - crop + 1)
+    xs = jax.random.randint(kx, (batch,), 0, w - crop + 1)
+
+    def take(args):
+        i, y, x = args
+        return jax.lax.dynamic_slice(frames[i], (y, x, 0), (crop, crop, 3))
+
+    hr = jax.vmap(take)((fi, ys, xs))
+    return downsample2(hr), hr
+
+
+def upscale(net: UpscalerNet, params, img: jnp.ndarray) -> jnp.ndarray:
+    """Apply the upscaler to one (H, W, 3) frame."""
+    return net.apply(params, img[None])[0]

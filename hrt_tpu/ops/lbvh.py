@@ -279,10 +279,17 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max) -> FlatBVH:
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size",))
-def build_bvh(scene: SceneData, leaf_size: int = 8) -> Accel:
-    """Full on-device LBVH build over the scene's triangle pool."""
+def build_bvh(scene: SceneData, leaf_size: int = 8,
+              tri_mask: jnp.ndarray | None = None) -> Accel:
+    """Full on-device LBVH build over the scene's triangle pool.
+
+    tri_mask (T,) bool optionally restricts the build to a subset (the
+    culling pre-pass, ops/culling.py): masked-out triangles get empty
+    AABBs and a past-the-end sort key, so they are never visited."""
     v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
     valid = scene.tri_valid > 0.5
+    if tri_mask is not None:
+        valid = valid & tri_mask
     t = v0.shape[0]
     assert t % leaf_size == 0 and t // leaf_size >= 2, \
         "triangle pool padding must give >= 2 leaves"
@@ -307,6 +314,10 @@ def build_bvh(scene: SceneData, leaf_size: int = 8) -> Accel:
     v0s, e1s, e2s = v0[order], e1[order], e2[order]
     valid_s = valid[order]
     tmin_s, tmax_s = tmin[order], tmax[order]
+    # Invalid/culled triangles become degenerate (e=0 -> det=0, no hit):
+    # a mixed boundary leaf can then never report them.
+    e1s = jnp.where(valid_s[:, None], e1s, 0.0)
+    e2s = jnp.where(valid_s[:, None], e2s, 0.0)
 
     # Leaf AABBs over K-blocks; invalid tris contribute empty boxes.
     n_leaf = t // leaf_size

@@ -202,17 +202,20 @@ def _sample_bounce(mat_rows, n, view, seed):
 
 
 def trace_paths(scene: SceneData, accel, o, d, seeds,
-                config: RenderConfig):
+                config: RenderConfig, want_gbuffer: bool = False):
     """Bounded bounce loop over a flat ray batch (N, 3).
 
     Unrolled `max_depth` times (the reference's while loop with its
-    wavefront re-dispatch per TraceRay).  Returns radiance (N, 3).
+    wavefront re-dispatch per TraceRay).  Returns radiance (N, 3), or
+    (radiance, gbuffer dict) when want_gbuffer — first-hit normal /
+    depth / albedo / world position feeding the SVGF denoiser.
     """
     n = o.shape[0]
     radiance = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
     seed = seeds
+    gbuffer = None
 
     for depth in range(config.max_depth):
         t, tri, u, v = trace_closest(
@@ -239,6 +242,16 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         radiance = radiance + jnp.where(
             hit[:, None], throughput * (direct + emissive), 0.0)
 
+        if want_gbuffer and depth == 0:
+            gbuffer = {
+                "normal": jnp.where(hit[:, None], nrm, 0.0),
+                "depth": jnp.where(hit, t, jnp.float32(0.0)),
+                "albedo": jnp.where(hit[:, None],
+                                    mat_rows[:, M.COLOR], 1.0),
+                "world_pos": jnp.where(hit[:, None], world_pos, 0.0),
+                "hit": hit.astype(jnp.float32),
+            }
+
         if not config.indirect or depth + 1 == config.max_depth:
             break
 
@@ -260,6 +273,16 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         # static shapes, no compaction needed at this scale.
         throughput = jnp.where(active[:, None], throughput, 0.0)
 
+    if want_gbuffer:
+        if gbuffer is None:  # max_depth == 0 edge case
+            gbuffer = {
+                "normal": jnp.zeros((n, 3), jnp.float32),
+                "depth": jnp.zeros((n,), jnp.float32),
+                "albedo": jnp.ones((n, 3), jnp.float32),
+                "world_pos": jnp.zeros((n, 3), jnp.float32),
+                "hit": jnp.zeros((n,), jnp.float32),
+            }
+        return radiance, gbuffer
     return radiance
 
 
@@ -269,11 +292,13 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
 
 def render_rows(scene: SceneData, accel, cam: CameraArrays,
                 frame: jnp.ndarray, y0, rows: int,
-                config: RenderConfig) -> jnp.ndarray:
+                config: RenderConfig, want_gbuffer: bool = False):
     """Render a horizontal band of `rows` rows starting at y0.
 
     The tile primitive for multi-chip pixel sharding (parallel/tiles.py);
     y0 may be traced (jax.lax.axis_index inside shard_map).
+    Returns (rows, W, 3) radiance — plus a (rows, W, C) G-buffer dict
+    when want_gbuffer (first-sample first-hit attributes).
     """
     w = config.width
     px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None, :],
@@ -320,11 +345,26 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
             perm = jnp.asarray(perm)
             o, d, seeds_flat = o[perm], d[perm], seeds_flat[perm]
 
-        rad = trace_paths(scene, accel, o, d, seeds_flat, config)
+        take_gb = want_gbuffer and s == 0
+        out = trace_paths(scene, accel, o, d, seeds_flat, config,
+                          want_gbuffer=take_gb)
+        rad = out[0] if take_gb else out
+        if take_gb:
+            gbuffer = out[1]
         if blocked:
-            rad = rad[jnp.asarray(inv)]
+            inv_j = jnp.asarray(inv)
+            rad = rad[inv_j]
+            if take_gb:
+                gbuffer = {k: v[inv_j] for k, v in gbuffer.items()}
         acc = acc + rad
-    return (acc / jnp.float32(config.spp)).reshape(rows, w, 3)
+    img = (acc / jnp.float32(config.spp)).reshape(rows, w, 3)
+    if want_gbuffer:
+        gbuffer = {
+            k: v.reshape((rows, w) + v.shape[1:])
+            for k, v in gbuffer.items()
+        }
+        return img, gbuffer
+    return img
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
