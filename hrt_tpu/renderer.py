@@ -24,7 +24,7 @@ from .models.scene import SceneData
 from .models.sky import eval_sky
 from .ops import intersect, rng, sampling
 from .ops.disney import brdf, schlick_weight
-from .ops.math3d import dot, length, normalize
+from .ops.math3d import dot, length, normalize, square
 
 INF = intersect.INF
 
@@ -166,14 +166,31 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
     return jnp.sum(jnp.where(keep, contrib, 0.0), axis=1)
 
 
-def _sample_bounce(mat_rows, n, view, seed):
-    """One-sample lobe selection between diffuse (cosine) and specular
-    (GGX-VNDF) — enabling the sampler the reference ships disabled
-    (ref: raytracing.slang:166-168, sampler.slang:44-51)."""
+def _refract(view, n, eta):
+    """Snell refraction of the viewing direction about n (both unit,
+    n facing the viewer).  Returns (direction, total_internal_mask)."""
+    cos_i = dot(view, n)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    d = (-eta[..., None] * view
+         + (eta * cos_i - cos_t)[..., None] * n)
+    return normalize(d), tir
+
+
+def _sample_bounce(mat_rows, n, view, seed, entering):
+    """One-sample lobe selection: transmission (Snell + TIR), specular
+    (GGX-VNDF), or diffuse (cosine) — enabling the sampler the reference
+    ships disabled (ref: raytracing.slang:166-168, sampler.slang:44-51).
+
+    `entering` — True where the ray hits the front face (sets eta).
+    Returns (direction, weight, seed, transmitted_mask)."""
     u0, u1, seed = rng.rand2(seed)
     usel, seed = rng.rand(seed)
     metallic = mat_rows[:, M.METALLIC]
     rough = jnp.maximum(mat_rows[:, M.ROUGHNESS], M.ROUGHNESS_MIN)
+    transmission = mat_rows[:, M.TRANSMISSION]
+    ior = jnp.maximum(mat_rows[:, M.IOR], 1.0001)
     p_spec = jnp.clip(metallic + 0.25 * (1.0 - rough), 0.0, 0.95)
 
     d_spec, w_spec = sampling.ggx_vndf_spherical_cap(mat_rows, view, n, u0, u1)
@@ -198,7 +215,26 @@ def _sample_bounce(mat_rows, n, view, seed):
     weight = jnp.where(take_spec, spec_col * w_spec[:, None], diff_col) / p
     # Kill invalid specular samples (below-horizon reflections).
     weight = jnp.where(take_spec & (w_spec[:, None] <= 0.0), 0.0, weight)
-    return direction, weight, seed
+
+    # Transmission lobe (Whitted refraction): Fresnel-weighted choice
+    # between refraction and mirror reflection; TIR always reflects.
+    eta = jnp.where(entering, 1.0 / ior, ior)
+    d_refr, tir = _refract(view, n, eta)
+    cos_i = jnp.abs(dot(view, n))
+    f0 = square((1.0 - ior) / (1.0 + ior))
+    fr = f0 + (1.0 - f0) * schlick_weight(cos_i)  # Fresnel reflectance
+    u_t, seed = rng.rand(seed)
+    reflect_inst = tir | (u_t < fr)
+    d_mirr = normalize(2.0 * dot(view, n)[..., None] * n - view)
+    d_trans = jnp.where(reflect_inst[:, None], d_mirr, d_refr)
+    take_trans = (usel >= 0.0) & (transmission > 0.0)  # per-material
+    u_tsel, seed = rng.rand(seed)
+    take_trans = take_trans & (u_tsel < transmission)
+    transmitted = take_trans & jnp.logical_not(reflect_inst)
+
+    direction = jnp.where(take_trans[:, None], d_trans, direction)
+    weight = jnp.where(take_trans[:, None], color, weight)
+    return direction, weight, seed, transmitted
 
 
 def trace_paths(scene: SceneData, accel, o, d, seeds,
@@ -232,8 +268,10 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         mat_rows = scene.materials[mat_id]
         world_pos = o + t[:, None] * d
         view = -d  # toward viewer
+        # Front-face test before the flip (drives refraction eta).
+        entering = dot(nrm, view) >= 0.0
         # Flip normal to face the viewer (ref: raytracing.slang:157-158).
-        nrm = jnp.where(dot(nrm, view)[:, None] < 0.0, -nrm, nrm)
+        nrm = jnp.where(entering[:, None], nrm, -nrm)
 
         direct = direct_lighting(scene, accel, mat_rows, nrm, view,
                                  world_pos, config)
@@ -255,9 +293,11 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         if not config.indirect or depth + 1 == config.max_depth:
             break
 
-        new_d, weight, seed = _sample_bounce(mat_rows, nrm, view, seed)
+        new_d, weight, seed, transmitted = _sample_bounce(
+            mat_rows, nrm, view, seed, entering)
         throughput = throughput * weight
-        o = world_pos + nrm * config.bounce_offset
+        side = jnp.where(transmitted[:, None], -1.0, 1.0)
+        o = world_pos + nrm * side * config.bounce_offset
         d = new_d
         alive = jnp.max(throughput, axis=-1) > 1e-5
         active = active & hit & alive

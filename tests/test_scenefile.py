@@ -1,0 +1,93 @@
+"""YAML scene loading, Cornell box, and Whitted refraction."""
+import numpy as np
+import jax.numpy as jnp
+
+from hrt_tpu.config import RenderConfig
+from hrt_tpu.models.camera import Camera
+from hrt_tpu.models.scene import Scene
+from hrt_tpu.models.scenefile import cornell_box, scene_from_dict
+from hrt_tpu.renderer import render
+
+SPEC = {
+    "meshes": [
+        {"name": "ball", "icosphere": {"subdivisions": 1}},
+        {"name": "floor", "plane": {"size": 3.0}},
+    ],
+    "materials": [
+        {"name": "white", "color": [0.8, 0.8, 0.8]},
+        {"name": "glass", "color": [1, 1, 1], "transmission": 1.0,
+         "ior": 1.5, "roughness": 0.05},
+    ],
+    "lights": [{"position": [0, -2, 0], "color": [1, 1, 1],
+                "intensity": 10}],
+    "instances": [
+        {"mesh": "floor", "material": "white", "position": [0, 1, 0]},
+        {"mesh": "ball", "material": "glass", "position": [0, 0, 0],
+         "scale": [0.5, 0.5, 0.5]},
+    ],
+    "sky": {"brightness": 0.4},
+}
+
+
+def test_scene_from_dict():
+    sc = scene_from_dict(SPEC)
+    data = sc.build()
+    assert data.materials.shape[0] == 2
+    assert data.lights.shape[0] == 1
+    from hrt_tpu.models import materials as M
+
+    assert float(data.materials[1, M.TRANSMISSION]) == 1.0
+    assert float(data.sky[15]) == np.float32(0.4)  # brightness
+
+
+def test_yaml_file_roundtrip(tmp_path):
+    import yaml
+
+    p = tmp_path / "s.yaml"
+    p.write_text(yaml.safe_dump(SPEC))
+    from hrt_tpu.models.scenefile import load_scene_yaml
+
+    sc = load_scene_yaml(str(p))
+    assert len(sc.instances) == 2
+
+
+def test_shipped_cornell_yaml_matches_builtin_shape():
+    from hrt_tpu.models.scenefile import load_scene_yaml
+
+    sc = load_scene_yaml("scenes/cornell.yaml")
+    data = sc.build()
+    assert data.lights.shape[0] == 1
+    assert data.materials.shape[0] == 5
+
+
+def test_cornell_render():
+    cfg = RenderConfig(width=64, height=64, max_depth=3, indirect=True,
+                       traversal="bvh", spp=1)
+    img = render(cornell_box(), Camera(position=(0, 0, -3.2),
+                                       fov_y=0.7), cfg)
+    assert np.isfinite(img).all()
+    # Left half must be redder, right half greener (wall bleed).
+    left = img[:, : 20]
+    right = img[:, -20:]
+    assert left[..., 0].mean() > left[..., 1].mean()
+    assert right[..., 1].mean() > right[..., 0].mean()
+
+
+def test_refraction_bends_rays():
+    """A glass sphere inverts the image of what is behind it."""
+    sc = scene_from_dict(SPEC)
+    cfg = RenderConfig(width=48, height=48, max_depth=4, indirect=True,
+                       sky=True, traversal="bvh")
+    img = render(sc, Camera(position=(0, -0.2, -2.2)), cfg)
+    assert np.isfinite(img).all()
+    # The sphere region shows non-black (refracted sky/floor), not a
+    # silhouette: compare to an opaque black sphere.
+    spec2 = dict(SPEC)
+    spec2["materials"] = [
+        {"name": "white", "color": [0.8, 0.8, 0.8]},
+        {"name": "glass", "color": [0.0, 0.0, 0.0], "transmission": 0.0},
+    ]
+    img_opaque = render(scene_from_dict(spec2),
+                        Camera(position=(0, -0.2, -2.2)), cfg)
+    center = (slice(18, 30), slice(18, 30))
+    assert img[center].mean() > img_opaque[center].mean() + 0.01
