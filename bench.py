@@ -56,7 +56,7 @@ def main() -> None:
 
     from hrt_tpu.ops import lbvh
 
-    accel = lbvh.build_bvh(scene, leaf_size=16)
+    accel = lbvh.build_bvh_sah(scene, leaf_size=16)
 
     # Warmup / compile.
     img = render_frame(scene, accel, cams, jnp.uint32(0), cfg)

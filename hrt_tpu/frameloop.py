@@ -82,7 +82,9 @@ class FrameLoop:
         self.leaf_size = 16
         self.visible = jnp.ones(
             (self.scene.inst_bmin.shape[0],), bool)
-        self.accel = (lbvh.build_bvh(self.scene, self.leaf_size)
+        # Static scenes get the high-quality native SAH tree; culling
+        # rebuilds use the fast on-device LBVH.
+        self.accel = (lbvh.build_bvh_sah(self.scene, self.leaf_size)
                       if cfg.traversal != "bruteforce" else None)
         self.dn_state = denoise.init_state(cfg.height, cfg.width)
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)

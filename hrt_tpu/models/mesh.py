@@ -82,8 +82,23 @@ def _parse_obj(text: str):
     return positions, normals, texcoords, face_verts
 
 
-def load_obj(path_or_text: str, *, is_text: bool = False) -> Mesh:
-    """Load an OBJ file into a deduplicated Mesh (y-flipped, ref parity)."""
+def load_obj(path_or_text: str, *, is_text: bool = False,
+             use_native: bool = True) -> Mesh:
+    """Load an OBJ file into a deduplicated Mesh (y-flipped, ref parity).
+
+    Uses the C++ loader (native/objloader.cpp) when built; this Python
+    path is the fallback and the semantics oracle."""
+    if not is_text and use_native:
+        try:
+            from .. import native
+
+            res = native.load_obj(path_or_text)
+            if res is not None:
+                return Mesh(vertices=res[0], indices=res[1])
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass  # fall through to the pure-Python parser
     if is_text:
         text = path_or_text
     else:

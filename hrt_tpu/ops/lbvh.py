@@ -25,6 +25,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from flax import struct as flax_struct
 
 from ..models.scene import SceneData
 from . import morton
@@ -51,11 +53,6 @@ class BVH(NamedTuple):
     def num_internal(self) -> int:
         return self.child_l.shape[0]
 
-    @property
-    def leaf_size(self) -> int:
-        # T / (Ni + 1): Ni = num_leaves - 1 for a full binary tree.
-        return self.tri_v0.shape[0] // (self.child_l.shape[0] + 1)
-
 
 class FlatBVH(NamedTuple):
     """Skip-link (threaded) BVH in DFS preorder, laid out for the Pallas
@@ -77,13 +74,16 @@ class FlatBVH(NamedTuple):
         return self.nodes.shape[1] * 128
 
 
-class Accel(NamedTuple):
+@flax_struct.dataclass
+class Accel:
     """Both traversal representations: `tree` for the jnp stack machine,
-    `flat` for the Pallas packet kernel.  num_nodes = 2*L-1 is implied
-    by tree shapes (static)."""
+    `flat` for the Pallas packet kernel.  `leaf_size` is static (it
+    drives kernel loop bounds); it cannot be derived from shapes when
+    the leaf arrays are padded (SAH builder path)."""
 
     tree: BVH
     flat: FlatBVH
+    leaf_size: int = flax_struct.field(pytree_node=False, default=8)
 
 
 def _clz32(x: jnp.ndarray) -> jnp.ndarray:
@@ -193,7 +193,7 @@ def _masked_scatter(dst, idx, val, mask):
     return dst.at[jnp.where(mask, idx, oob)].set(val, mode="drop")
 
 
-def flatten_bvh(bvh: BVH, leaf_min, leaf_max) -> FlatBVH:
+def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int) -> FlatBVH:
     """Linearize the Karras tree into DFS preorder with skip links.
 
     All on device: subtree sizes and preorder positions are computed by
@@ -242,7 +242,7 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max) -> FlatBVH:
 
     m = ni + nl
     mp = ((m + 127) // 128) * 128
-    k = bvh.tri_v0.shape[0] // nl
+    k = leaf_size
 
     own_min_i = jnp.minimum(bvh.bmin_l, bvh.bmin_r)
     own_max_i = jnp.maximum(bvh.bmax_l, bvh.bmax_r)
@@ -252,12 +252,12 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max) -> FlatBVH:
     for axis in range(3):
         arr = jnp.full((mp,), big, jnp.float32)
         arr = arr.at[pre_i].set(own_min_i[:, axis])
-        arr = arr.at[pre_l].set(leaf_min[:, axis])
-        comps.append(arr)
+        arr = arr.at[pre_l].set(leaf_min[:nl, axis])  # leaf arrays may
+        comps.append(arr)                             # be padded (SAH)
     for axis in range(3):
         arr = jnp.full((mp,), -big, jnp.float32)
         arr = arr.at[pre_i].set(own_max_i[:, axis])
-        arr = arr.at[pre_l].set(leaf_max[:, axis])
+        arr = arr.at[pre_l].set(leaf_max[:nl, axis])
         comps.append(arr)
     nodes = jnp.stack(comps).reshape(6, mp // 128, 128)
 
@@ -340,4 +340,58 @@ def build_bvh(scene: SceneData, leaf_size: int = 8,
         tri_v0=v0s, tri_e1=e1s, tri_e2=e2s,
         tri_perm=order.astype(I32),
     )
-    return Accel(tree=tree, flat=flatten_bvh(tree, lmin, lmax))
+    return Accel(tree=tree, flat=flatten_bvh(tree, lmin, lmax, leaf_size),
+                 leaf_size=leaf_size)
+
+
+def build_bvh_sah(scene: SceneData, leaf_size: int = 16,
+                  tri_mask=None) -> Accel:
+    """High-quality binned-SAH build via the native C++ builder
+    (native/sah_bvh.cpp) — the offline PREFER_FAST_TRACE path for
+    static scenes.  Host-side build, device-side flatten; falls back to
+    the on-device LBVH when the native library is unavailable."""
+    from .. import native
+
+    v0 = np.asarray(scene.tri_v0)
+    e1 = np.asarray(scene.tri_e1)
+    e2 = np.asarray(scene.tri_e2)
+    valid = np.asarray(scene.tri_valid) > 0.5
+    if tri_mask is not None:
+        valid = valid & np.asarray(tri_mask)
+    res = native.sah_build(v0, e1, e2, valid.astype(np.int32), leaf_size)
+    if res is None:
+        mask = None if tri_mask is None else jnp.asarray(tri_mask)
+        return build_bvh(scene, leaf_size, tri_mask=mask)
+
+    nl = res["leaf_tri"].shape[0]
+    # Pad the leaf-ordered triangle pool to a multiple of 128 slots
+    # (FlatBVH row layout); padding slots belong to no leaf.
+    per_row = 128 // leaf_size if leaf_size <= 128 else 1
+    nl_pad = ((nl + per_row - 1) // per_row) * per_row
+    slots = np.full((nl_pad * leaf_size,), -1, np.int64)
+    slots[: nl * leaf_size] = res["leaf_tri"].reshape(-1)
+    empty = slots < 0
+    safe = np.where(empty, 0, slots)
+    tri_v0 = v0[safe]
+    tri_e1 = np.where(empty[:, None], 0.0, e1[safe]).astype(np.float32)
+    tri_e2 = np.where(empty[:, None], 0.0, e2[safe]).astype(np.float32)
+    tri_perm = safe.astype(np.int32)
+
+    lmin = np.full((nl_pad, 3), np.float32(3e38), np.float32)
+    lmax = np.full((nl_pad, 3), np.float32(-3e38), np.float32)
+    lmin[:nl] = res["leaf_min"]
+    lmax[:nl] = res["leaf_max"]
+
+    tree = BVH(
+        child_l=jnp.asarray(res["child_l"]),
+        child_r=jnp.asarray(res["child_r"]),
+        bmin_l=jnp.asarray(res["bmin_l"]),
+        bmax_l=jnp.asarray(res["bmax_l"]),
+        bmin_r=jnp.asarray(res["bmin_r"]),
+        bmax_r=jnp.asarray(res["bmax_r"]),
+        tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
+        tri_e2=jnp.asarray(tri_e2), tri_perm=jnp.asarray(tri_perm),
+    )
+    flat = flatten_bvh(tree, jnp.asarray(lmin), jnp.asarray(lmax),
+                       leaf_size)
+    return Accel(tree=tree, flat=flat, leaf_size=leaf_size)

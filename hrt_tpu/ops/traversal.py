@@ -22,16 +22,17 @@ from .lbvh import BVH
 STACK_DEPTH = 64
 
 
-@functools.partial(jax.jit, static_argnames=("find_closest",))
-def _traverse(bvh: BVH, o, d, t_min, t_max, find_closest: bool):
+@functools.partial(jax.jit, static_argnames=("find_closest", "k"))
+def _traverse(bvh: BVH, o, d, t_min, t_max, find_closest: bool,
+              k: int = 8):
     """Shared stack-machine loop.
 
     Returns (t, leaf_tri (sorted-pool id, -1 = miss), u, v, occluded).
     For find_closest=False, stops a ray as soon as any hit is found.
+    `k` = leaf capacity (static; from Accel.leaf_size).
     """
     n = o.shape[0]
     ni = bvh.num_internal
-    k = bvh.leaf_size
     ar = jnp.arange(n)
     inv_d = safe_inv_dir(d)
     t_max = jnp.broadcast_to(t_max, (n,)).astype(jnp.float32)
@@ -126,7 +127,8 @@ def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
             return traversal_pallas.closest_hit(scene, accel, o, d,
                                                 t_min, t_max)
     tree = accel.tree
-    t, i_sorted, u, v, _ = _traverse(tree, o, d, t_min, t_max, True)
+    t, i_sorted, u, v, _ = _traverse(tree, o, d, t_min, t_max, True,
+                                     k=accel.leaf_size)
     tri = jnp.where(i_sorted >= 0,
                     tree.tri_perm[jnp.maximum(i_sorted, 0)], -1)
     return t, tri, u, v
@@ -141,5 +143,6 @@ def any_hit_bvh(scene, accel, o, d, t_min, t_max,
         if traversal_pallas.available():
             return traversal_pallas.any_hit(scene, accel, o, d,
                                             t_min, t_max)
-    _, _, _, _, occ = _traverse(accel.tree, o, d, t_min, t_max, False)
+    _, _, _, _, occ = _traverse(accel.tree, o, d, t_min, t_max, False,
+                                k=accel.leaf_size)
     return occ

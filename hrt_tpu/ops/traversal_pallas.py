@@ -260,7 +260,7 @@ def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
     n_pad = ((n + TILE - 1) // TILE) * TILE
     nl = accel.tree.child_l.shape[0] + 1
     m_real = 2 * nl - 1
-    leaf_size = accel.tree.tri_v0.shape[0] // nl
+    leaf_size = accel.leaf_size
 
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     comps = [_to_tiles(o[:, 0], n_pad), _to_tiles(o[:, 1], n_pad),
