@@ -29,7 +29,7 @@ class RenderConfig:
     t_min: float = 1e-3              # ref: raytracing.slang:105
     traversal: str = "auto"          # bruteforce | bvh | pallas | auto
     tri_chunk: int = 512             # brute-force triangle chunk
-    block_reorder: bool = False      # pixel-block ray reorder (see renderer)
+    block_reorder: bool = True       # pixel-block ray reorder (see renderer)
     # Post pipeline (phase 5):
     denoise: bool = False
     upscale: int = 1                 # 1 = off, 2 = 2x learned upscale

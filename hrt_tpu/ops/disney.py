@@ -46,8 +46,14 @@ def gtr1(ndoth, a):
 
 
 def gtr2(ndoth, a):
+    """Normalized isotropic GTR2/GGX.
+
+    NOTE: the reference's GTR2 (disney.slang:21-24) is missing the
+    square on the denominator — but it is dead code there (evalSpecular
+    uses GTR2_anisotropic, which has the square); we implement the
+    correct normalized form."""
     a2 = a * a
-    return a2 / (PI * (1.0 + (a2 - 1.0) * ndoth * ndoth))
+    return a2 / (PI * square(1.0 + (a2 - 1.0) * ndoth * ndoth))
 
 
 def gtr2_anisotropic(ndoth, hdotx, hdoty, ax, ay):

@@ -31,9 +31,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 64   # rays per tile = TILE_ROWS * 128 (amortizes the
-TILE_LANES = 128  # serial per-node scalar work over more rays)
+import os
+
+# Tunables (env-overridable for benchmarking sweeps):
+# rays per tile = TILE_ROWS * 128 — bigger amortizes the serial
+# per-node scalar work over more rays, smaller cuts packet divergence.
+TILE_ROWS = int(os.environ.get("HRT_TILE_ROWS", "64"))
+TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
+# Leaf-loop unroll factor: higher = faster steady-state, much slower
+# Mosaic compile (measured: 1 -> ~40 s, 4 -> ~8 min on the bench scene).
+LEAF_UNROLL = int(os.environ.get("HRT_LEAF_UNROLL", "4"))
 INF = jnp.float32(1e32)
 # VMEM budget gate: nodes (8 comps) + tris (9 comps) must fit ~12 MB.
 MAX_VMEM_F32 = 3_000_000
@@ -176,10 +184,12 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                 lane0 = start % TILE_LANES
                 rows = _leaf_tri_rows(tris_ref, start)
 
-                # 4-wide unroll inside a rolled loop: full unrolling
-                # blew up Mosaic compile time ~9x, fully rolled cost
-                # ~16% runtime; this is the measured sweet spot.
-                unroll = min(4, leaf_size)
+                # Partial unroll inside a rolled loop: full unrolling
+                # blows up Mosaic compile time, fully rolled costs
+                # ~16% runtime (see LEAF_UNROLL).
+                unroll = min(LEAF_UNROLL, leaf_size)
+                while leaf_size % unroll:
+                    unroll -= 1
 
                 def tri_body(g, args):
                     best_t, best_i, bu, bv = args

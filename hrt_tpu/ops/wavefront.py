@@ -14,6 +14,23 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def to_blocks(x: jnp.ndarray, h: int, w: int, bh: int, bw: int):
+    """Reorder a flat (h*w, ...) per-pixel array into (bh, bw) pixel
+    blocks using only reshape/transpose (no gather — free on TPU)."""
+    tail = x.shape[1:]
+    x = x.reshape((h // bh, bh, w // bw, bw) + tail)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((h * w,) + tail)
+
+
+def from_blocks(x: jnp.ndarray, h: int, w: int, bh: int, bw: int):
+    """Inverse of to_blocks."""
+    tail = x.shape[1:]
+    x = x.reshape((h // bh, w // bw, bh, bw) + tail)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((h * w,) + tail)
+
+
 @functools.lru_cache(maxsize=32)
 def block_order(h: int, w: int, bh: int, bw: int):
     """Permutation mapping block-major order -> row-major flat index.

@@ -1,0 +1,122 @@
+"""Scene-sharded tracing: triangle partitioning across chips.
+
+The reference is bounded by one GPU's VRAM; the TPU build's analogue of
+sequence/context parallelism (SURVEY.md section 2 parallelism notes) is
+object partitioning: the triangle pool is split into D shards, each
+chip owns one shard's BVH in HBM, every chip traces the full ray batch
+against its shard, and per-ray closest hits are combined with an
+all-gather + argmin over the device axis (ICI).  Occlusion combines
+with a logical-or (pmax).  Correct for any spatial distribution because
+closest-hit is an associative min-reduction over shards.
+
+Shards are deliberately interleaved round-robin so each shard's BVH
+still covers a spatially-local subset (triangles are Morton-sorted
+inside each shard's own LBVH build anyway).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.scene import SceneData
+from ..ops import lbvh
+
+
+def shard_scene_triangles(scene: SceneData, n_shards: int):
+    """Split the triangle pool into n contiguous shards (padded alike).
+
+    Returns a SceneData whose triangle arrays have a leading shard dim
+    (n_shards, T/n, ...); tables stay unsharded."""
+    t = scene.num_triangles
+    pad = (-t) % (n_shards * 128)
+    if pad:
+        raise ValueError("triangle pool must divide into n_shards*128")
+
+    def split(x):
+        return x.reshape((n_shards, t // n_shards) + x.shape[1:])
+
+    return scene._replace(
+        tri_v0=split(scene.tri_v0), tri_e1=split(scene.tri_e1),
+        tri_e2=split(scene.tri_e2), nrm0=split(scene.nrm0),
+        nrm1=split(scene.nrm1), nrm2=split(scene.nrm2),
+        uv0=split(scene.uv0), uv1=split(scene.uv1), uv2=split(scene.uv2),
+        tri_mat=split(scene.tri_mat), tri_inst=split(scene.tri_inst),
+        tri_valid=split(scene.tri_valid),
+    )
+
+
+def build_sharded_accel(scene: SceneData, n_shards: int,
+                        leaf_size: int = 16):
+    """One Accel per shard, stacked on a leading device axis.
+
+    Built with vmap over the shard dimension (each shard gets its own
+    LBVH); place the result with `shard_accel` before tracing."""
+    sharded = shard_scene_triangles(scene, n_shards)
+    shard_scene = sharded._replace()  # shallow copy
+
+    def one(v0, e1, e2, valid):
+        s = scene._replace(tri_v0=v0, tri_e1=e1, tri_e2=e2,
+                           tri_valid=valid)
+        return lbvh.build_bvh(s, leaf_size)
+
+    accel = jax.vmap(one)(sharded.tri_v0, sharded.tri_e1,
+                          sharded.tri_e2, sharded.tri_valid)
+    return sharded, accel
+
+
+def place(tree, mesh: Mesh, spec: P):
+    return jax.device_put(tree, NamedSharding(mesh, spec))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "leaf_size",
+                                             "t_min"))
+def closest_hit_sharded(sharded_scene: SceneData, accel, o, d, mesh: Mesh,
+                        leaf_size: int = 16, t_min: float = 1e-3):
+    """Closest hit across all scene shards.
+
+    o, d: (N, 3) replicated rays.  Returns (t, global_tri, u, v) with
+    global triangle ids (shard-local id + shard offset)."""
+    n_shards = mesh.devices.size
+    t_per = sharded_scene.tri_v0.shape[1]
+
+    def shard_fn(accel_shard, o, d):
+        from ..ops import traversal
+
+        acc = jax.tree.map(lambda x: x[0], accel_shard)
+        acc = lbvh.Accel(tree=acc.tree, flat=acc.flat,
+                         leaf_size=leaf_size)
+        t, tri, u, v, _ = traversal._traverse(
+            acc.tree, o, d, t_min, jnp.float32(1e32), True, k=leaf_size)
+        tri = jnp.where(tri >= 0,
+                        acc.tree.tri_perm[jnp.maximum(tri, 0)], -1)
+        sid = jax.lax.axis_index("shards")
+        gtri = jnp.where(tri >= 0, tri + sid * t_per, -1)
+        # Gather every shard's candidate and pick the global minimum.
+        all_t = jax.lax.all_gather(t, "shards")          # (D, N)
+        all_tri = jax.lax.all_gather(gtri, "shards")
+        all_u = jax.lax.all_gather(u, "shards")
+        all_v = jax.lax.all_gather(v, "shards")
+        best = jnp.argmin(jnp.where(all_tri >= 0, all_t, 1e32), axis=0)
+        take = lambda a: jnp.take_along_axis(a, best[None], 0)[0]
+        return take(all_t), take(all_tri), take(all_u), take(all_v)
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("shards"), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    # shard_map keeps the sharded axis with local size 1 -> x[0] inside.
+    del n_shards
+    return fn(accel, o, d)
+
+
+def unshard_tri_attr(sharded_scene: SceneData, name: str):
+    """Flatten a sharded per-triangle attribute back to (T, ...) so
+    global triangle ids index it (shading side)."""
+    x = getattr(sharded_scene, name)
+    return x.reshape((-1,) + x.shape[2:])

