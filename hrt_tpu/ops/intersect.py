@@ -114,7 +114,7 @@ def closest_hit_bruteforce(ray_o, ray_d, tri_v0, tri_e1, tri_e2,
     e1c = tri_e1.reshape(-1, chunk, 3)
     e2c = tri_e2.reshape(-1, chunk, 3)
     init = (
-        jnp.full((n,), t_max, jnp.float32),
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)),
         jnp.full((n,), -1, jnp.int32),
         jnp.zeros((n,), jnp.float32),
         jnp.zeros((n,), jnp.float32),

@@ -73,17 +73,19 @@ def trace_closest(scene: SceneData, accel, o, d, t_min, t_max,
 
     n = o.shape[0]
     block = _ray_block_size(n, scene.num_triangles)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     def one_block(args):
-        ob, db = args
+        ob, db, tb = args
         return intersect.closest_hit_bruteforce(
             ob, db, scene.tri_v0, scene.tri_e1, scene.tri_e2,
-            t_min, t_max, chunk=min(config.tri_chunk, scene.num_triangles))
+            t_min, tb, chunk=min(config.tri_chunk, scene.num_triangles))
 
     if block == n:
-        return one_block((o, d))
+        return one_block((o, d, t_max))
     res = jax.lax.map(one_block, (o.reshape(-1, block, 3),
-                                  d.reshape(-1, block, 3)))
+                                  d.reshape(-1, block, 3),
+                                  t_max.reshape(-1, block)))
     return tuple(r.reshape(n) for r in res)
 
 
@@ -135,9 +137,13 @@ def interpolate_hit(scene: SceneData, tri_idx, u, v):
 
 
 def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
-                    config: RenderConfig):
+                    config: RenderConfig, ray_mask=None):
     """NEE over all scene lights with one shadow ray each
-    (ref: calculateColor, shaders/raytracing.slang:72-88)."""
+    (ref: calculateColor, shaders/raytracing.slang:72-88).
+
+    ray_mask (N,) bool: rays that actually hit a surface — dead rays get
+    t_max = -1 so the packet kernel retires them at the root (a whole
+    dead tile exits in one iteration)."""
     num_lights = scene.lights.shape[0]
     if num_lights == 0:
         return jnp.zeros(world_pos.shape, jnp.float32)
@@ -145,6 +151,13 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
     ldir, lcol, lint = process_light(scene.lights, world_pos)
     l = normalize(ldir)                               # (N, L, 3)
     f = brdf(mat_rows[:, None, :], n[:, None, :], view[:, None, :], l)
+
+    # A shadow ray only matters when the BRDF can be nonzero and the
+    # light passes the intensity threshold (raytracing.slang:78-79).
+    ndotl = jnp.sum(n[:, None, :] * l, -1)
+    relevant = (ndotl > 0.0) & (lint >= config.light_threshold)
+    if ray_mask is not None:
+        relevant = relevant & ray_mask[:, None]
 
     # Shadow rays (ref: testShadow, raytracing.slang:56-70).  Flattened
     # LIGHT-major so each traversal tile sees rays toward one light from
@@ -154,16 +167,15 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
     so = jnp.broadcast_to(shadow_o[None, :, :],
                           (num_lights, nrays, 3)).reshape(-1, 3)
     sd = jnp.swapaxes(l, 0, 1).reshape(-1, 3)
-    st = jnp.swapaxes(length(ldir), 0, 1).reshape(-1)
+    st = jnp.where(relevant, length(ldir), -1.0)  # -1 = dead lane
+    st = jnp.swapaxes(st, 0, 1).reshape(-1)
     occluded = trace_any(scene, accel, so, sd, config.t_min,
                          st, config)
     visible = 1.0 - jnp.swapaxes(
         occluded.reshape(num_lights, nrays), 0, 1).astype(jnp.float32)
 
     contrib = f * lcol[None] * lint[..., None] * visible[..., None]
-    # Threshold cull (ref: raytracing.slang:78-79).
-    keep = (lint >= config.light_threshold)[..., None]
-    return jnp.sum(jnp.where(keep, contrib, 0.0), axis=1)
+    return jnp.sum(jnp.where(relevant[..., None], contrib, 0.0), axis=1)
 
 
 def _refract(view, n, eta):
@@ -254,8 +266,11 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
     gbuffer = None
 
     for depth in range(config.max_depth):
+        # Retired rays trace with t_max = -1: the packet kernel drops
+        # them at the root, and fully-dead tiles exit in one step.
+        t_max = INF if depth == 0 else jnp.where(active, INF, -1.0)
         t, tri, u, v = trace_closest(
-            scene, accel, o, d, config.t_min, INF, config)
+            scene, accel, o, d, config.t_min, t_max, config)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,
@@ -274,7 +289,7 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         nrm = jnp.where(entering[:, None], nrm, -nrm)
 
         direct = direct_lighting(scene, accel, mat_rows, nrm, view,
-                                 world_pos, config)
+                                 world_pos, config, ray_mask=hit)
         emissive = (mat_rows[:, M.EMISSIVE]
                     * mat_rows[:, M.EMISSION_STRENGTH, None])
         radiance = radiance + jnp.where(
