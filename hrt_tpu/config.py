@@ -30,6 +30,11 @@ class RenderConfig:
     traversal: str = "auto"          # bruteforce | bvh | pallas | auto
     tri_chunk: int = 512             # brute-force triangle chunk
     block_reorder: bool = True       # pixel-block ray reorder (see renderer)
+    # Direction-sort bounce rays between trace stages.  Measured on
+    # v5e: the argsort+gather overhead exceeds the coherence win at
+    # <=1M rays (84 -> 110 ms/frame on the bench scene), so off by
+    # default; useful for very deep incoherent paths.
+    sort_bounces: bool = False
     # Post pipeline (phase 5):
     denoise: bool = False
     upscale: int = 1                 # 1 = off, 2 = 2x learned upscale

@@ -95,11 +95,51 @@ class Scene:
         return len(self.materials) - 1
 
     def create_light(self, position, color, intensity: float,
-                     light_type: int = lights_mod.POINT) -> int:
-        """ref: Scene::createLight (Scene.cpp:88-98)."""
+                     light_type: int = lights_mod.POINT,
+                     direction=(0.0, 0.0, 0.0),
+                     cone_angle: float = 0.0) -> int:
+        """ref: Scene::createLight (Scene.cpp:88-98); direction/cone are
+        extensions making SPOT/DIRECTIONAL real (the reference declares
+        the enum but hard-codes non-point directions)."""
         self.lights.append(
-            lights_mod.make_light(position, color, intensity, light_type))
+            lights_mod.make_light(position, color, intensity, light_type,
+                                  direction, cone_angle))
         return len(self.lights) - 1
+
+    # -- editing (the reference declares these but stubs them,
+    # ref: Scene.cpp:122-133) --------------------------------------------
+    def destroy_instance(self, instance_id: int) -> None:
+        """Swap-with-last removal (ref: Scene::destroyInstance
+        semantics, Scene.cpp:122-125)."""
+        self.instances[instance_id] = self.instances[-1]
+        self.instances.pop()
+
+    def destroy_light(self, light_id: int) -> None:
+        self.lights[light_id] = self.lights[-1]
+        self.lights.pop()
+
+    def destroy_material(self, material_id: int) -> None:
+        """Removes a material; instances referencing it are remapped to
+        material 0 (the reference stub never implemented a policy)."""
+        self.materials[material_id] = self.materials[-1]
+        moved = len(self.materials) - 1
+        self.materials.pop()
+        for inst in self.instances:
+            if inst.material_id == material_id:
+                inst.material_id = 0
+            elif inst.material_id == moved:
+                inst.material_id = material_id
+
+    def unload_model(self, mesh_id: int) -> None:
+        """Removes a mesh and every instance referencing it."""
+        self.instances = [i for i in self.instances
+                          if i.mesh_id != mesh_id]
+        moved = len(self.meshes) - 1
+        self.meshes[mesh_id] = self.meshes[-1]
+        self.meshes.pop()
+        for inst in self.instances:
+            if inst.mesh_id == moved:
+                inst.mesh_id = mesh_id
 
     def create_instance(self, mesh_id: int, material_id: int,
                         position=(0.0, 0.0, 0.0), rotation=(0.0, 0.0, 0.0),

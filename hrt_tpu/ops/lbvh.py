@@ -56,22 +56,23 @@ class BVH(NamedTuple):
 
 class FlatBVH(NamedTuple):
     """Skip-link (threaded) BVH in DFS preorder, laid out for the Pallas
-    packet kernel: every component is a (rows, 128) array so node/tri
-    fetches are single-row dynamic slices + lane extraction — no gathers.
+    packet kernel: node i lives in lane i%128 of row i//128, with its 8
+    record values in the sublane dimension — ONE row load + ONE dynamic
+    lane-roll fetches a whole node (no gathers, no cross-lane reduces).
 
-    nodes: (6, Mp//128, 128) f32 — bminx,bminy,bminz,bmaxx,bmaxy,bmaxz
-    meta:  (2, Mp//128, 128) i32 — [0]: 0=internal, else tri_start+1
-                                   [1]: skip index (next DFS subtree)
-    tris:  (9, Tp//128, 128) f32 — v0xyz, e1xyz, e2xyz (leaf order)
+    nodes: (Mp//128, 8, 128) f32 — sublanes 0:6 = bminx..bmaxz;
+           sublane 6 = bitcast i32 leaf_code (0=internal else
+           tri_start+1); sublane 7 = bitcast i32 skip index.
+    tris:  (Tp//128, 16, 128) f32 — sublanes 0:9 = v0xyz,e1xyz,e2xyz in
+           leaf order (K-blocks never straddle a row); 9:16 padding.
     """
 
     nodes: jnp.ndarray
-    meta: jnp.ndarray
     tris: jnp.ndarray
 
     @property
     def num_nodes_padded(self) -> int:
-        return self.nodes.shape[1] * 128
+        return self.nodes.shape[0] * 128
 
 
 @flax_struct.dataclass
@@ -259,7 +260,6 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int) -> FlatBVH:
         arr = arr.at[pre_i].set(own_max_i[:, axis])
         arr = arr.at[pre_l].set(leaf_max[:nl, axis])
         comps.append(arr)
-    nodes = jnp.stack(comps).reshape(6, mp // 128, 128)
 
     leaf_code = jnp.zeros((mp,), I32)
     leaf_code = leaf_code.at[pre_l].set(
@@ -267,15 +267,24 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int) -> FlatBVH:
     skip = jnp.full((mp,), m, I32)
     skip = skip.at[pre_i].set(pre_i + sz)
     skip = skip.at[pre_l].set(pre_l + 1)
-    meta = jnp.stack([leaf_code, skip]).reshape(2, mp // 128, 128)
+    # i32 meta rides in the f32 record as raw bits (the kernel only
+    # ever moves these lanes — roll/slice — before bitcasting back, so
+    # no f32 arithmetic can corrupt them).
+    comps.append(jax.lax.bitcast_convert_type(leaf_code, jnp.float32))
+    comps.append(jax.lax.bitcast_convert_type(skip, jnp.float32))
+    # (8, mp) -> (mp//128, 8, 128): node i at [i//128, :, i%128].
+    nodes = jnp.stack(comps).reshape(8, mp // 128, 128).transpose(1, 0, 2)
 
     t = bvh.tri_v0.shape[0]
-    tris = jnp.stack([
+    tri_comps = jnp.stack([
         bvh.tri_v0[:, 0], bvh.tri_v0[:, 1], bvh.tri_v0[:, 2],
         bvh.tri_e1[:, 0], bvh.tri_e1[:, 1], bvh.tri_e1[:, 2],
         bvh.tri_e2[:, 0], bvh.tri_e2[:, 1], bvh.tri_e2[:, 2],
-    ]).reshape(9, t // 128, 128)
-    return FlatBVH(nodes=nodes, meta=meta, tris=tris)
+    ])
+    tri_comps = jnp.concatenate(
+        [tri_comps, jnp.zeros((7, t), jnp.float32)], axis=0)
+    tris = jnp.reshape(tri_comps, (16, t // 128, 128)).transpose(1, 0, 2)
+    return FlatBVH(nodes=nodes, tris=tris)
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size",))

@@ -52,48 +52,52 @@ def available() -> bool:
 
 
 def _vmem_ok(flat) -> bool:
-    n = flat.nodes.size + flat.meta.size + flat.tris.size
+    n = flat.nodes.size + flat.tris.size
     return n <= MAX_VMEM_F32
 
 
 def _lane_scalar(row, lane):
-    """Extract lane `lane` (traced scalar) of a (1, 128) row as a scalar."""
+    """Extract lane `lane` (traced) of a (1, 128) row as a scalar."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_LANES), 1)
     return jnp.sum(jnp.where(idx == lane, row, 0))
 
 
 def _lane_vec(row, lane):
-    """Extract a lane as a (1, 1) VECTOR (broadcasts against ray planes
-    without a vector->scalar-unit roundtrip — the per-visit hot path)."""
+    """Extract a lane as a (1, 1) VECTOR via a masked reduce.
+
+    Measured fastest on v5e: reduce-produced (1,1) values broadcast
+    against the ray planes for free, while sliced (1,1) values hit
+    Mosaic's 'broadcast in both sublanes and lanes' limitation and
+    true scalars pay a vreg->sreg move each (tried both; slower)."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_LANES), 1)
     return jnp.sum(jnp.where(idx == lane, row, 0), axis=-1, keepdims=True)
 
 
-def _node_fetch(nodes_ref, meta_ref, cur):
-    """Fetch one flat-BVH node: 6 box values as (1,1) vectors + 2 i32
-    control scalars (leaf_code, skip)."""
+def _node_fetch(nodes_ref, cur):
+    """Fetch one flat-BVH node record: ONE row load, then per-value
+    one-hot lane reductions (box values stay vectors; the two i32
+    controls — carried as raw bits in f32 sublanes 6/7 — become
+    scalars for the walk logic)."""
     row = cur // TILE_LANES
     lane = cur % TILE_LANES
-    box = [
-        _lane_vec(nodes_ref[c, pl.ds(row, 1), :], lane)
-        for c in range(6)
-    ]
-    leaf_code = _lane_scalar(meta_ref[0, pl.ds(row, 1), :], lane)
-    skip = _lane_scalar(meta_ref[1, pl.ds(row, 1), :], lane)
+    rec = nodes_ref[pl.ds(row, 1)]                    # (1, 8, 128)
+    box = [_lane_vec(rec[:, c, :], lane) for c in range(6)]
+    leaf_code = _lane_scalar(pltpu.bitcast(rec[:, 6, :], jnp.int32),
+                             lane)
+    skip = _lane_scalar(pltpu.bitcast(rec[:, 7, :], jnp.int32), lane)
     return box, leaf_code, skip
 
 
-def _leaf_tri_rows(tris_ref, start):
-    """Load the 9 component rows covering a K-aligned leaf block once;
-    per-triangle values are lane extractions from these shared rows.
-    Requires leaf blocks to never straddle a 128-lane row (K | 128)."""
+def _leaf_fetch(tris_ref, start):
+    """Load the row holding one leaf's K-triangle block (K | 128, so a
+    block never straddles a row)."""
     row = start // TILE_LANES
-    return [tris_ref[c, pl.ds(row, 1), :] for c in range(9)]
+    return tris_ref[pl.ds(row, 1)]                    # (1, 16, 128)
 
 
-def _tri_vecs(rows, lane):
-    """One triangle's 9 values as (1,1) vectors from preloaded rows."""
-    return [_lane_vec(r, lane) for r in rows]
+def _tri_vecs(rec, lane):
+    """Triangle values at `lane` (traced) as (1,1) vectors."""
+    return [_lane_vec(rec[:, c, :], lane) for c in range(9)]
 
 
 def _slab_test(box, oix, oiy, oiz, ix, iy, iz, t_min, t_limit):
@@ -144,7 +148,7 @@ def _moller(tri, ox, oy, oz, dx, dy, dz, t_min, t_limit):
 def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                  find_closest: bool):
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               nodes_ref, meta_ref, tris_ref,
+               nodes_ref, tris_ref,
                t_ref, tri_ref, u_ref, v_ref):
         ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -173,7 +177,7 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
 
         def body(state):
             cur, best_t, best_i, bu, bv = state
-            box, leaf_code, skip = _node_fetch(nodes_ref, meta_ref, cur)
+            box, leaf_code, skip = _node_fetch(nodes_ref, cur)
             hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin, best_t)
             any_hit = jnp.any(hit)
             is_leaf = leaf_code > 0
@@ -182,7 +186,7 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                 best_t, best_i, bu, bv = args
                 start = leaf_code - 1
                 lane0 = start % TILE_LANES
-                rows = _leaf_tri_rows(tris_ref, start)
+                rec = _leaf_fetch(tris_ref, start)
 
                 # Partial unroll inside a rolled loop: full unrolling
                 # blows up Mosaic compile time, fully rolled costs
@@ -195,7 +199,7 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                     best_t, best_i, bu, bv = args
                     for kk in range(unroll):
                         k = g * unroll + kk
-                        tri = _tri_vecs(rows, lane0 + k)
+                        tri = _tri_vecs(rec, lane0 + k)
                         h, t, u, v = _moller(tri, ox, oy, oz, dx, dy, dz,
                                              tmin, best_t)
                         best_i = jnp.where(h, start + k, best_i)
@@ -229,7 +233,7 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
 @functools.partial(jax.jit,
                    static_argnames=("m_real", "leaf_size", "t_min",
                                     "find_closest"))
-def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_meta,
+def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
                  flat_tris, m_real: int, leaf_size: int, t_min: float,
                  find_closest: bool):
     """Run the packet kernel over all ray tiles.
@@ -252,11 +256,11 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_meta,
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[ray_spec] * 7 + [table_spec] * 3,
+        in_specs=[ray_spec] * 7 + [table_spec] * 2,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         interpret=(jax.default_backend() == "cpu"),
-    )(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_meta, flat_tris)
+    )(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_tris)
 
 
 def _to_tiles(x: jnp.ndarray, n_pad: int, fill=0.0):
@@ -278,7 +282,7 @@ def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
              _to_tiles(d[:, 1], n_pad), _to_tiles(d[:, 2], n_pad),
              _to_tiles(tmax, n_pad, fill=-1.0)]  # padded rays hit nothing
     t, tri, u, v = _trace_tiles(
-        *comps, flat.nodes, flat.meta, flat.tris,
+        *comps, flat.nodes, flat.tris,
         m_real=m_real, leaf_size=leaf_size, t_min=float(t_min),
         find_closest=find_closest)
     flat_out = lambda a: a.reshape(-1)[:n]

@@ -51,17 +51,20 @@ def block_order(h: int, w: int, bh: int, bw: int):
     return perm, inv
 
 
-def direction_order(d: jnp.ndarray):
-    """Sort keys clustering rays by direction octant then dominant axis
-    value — cheap coherence for bounce/shadow batches.  Returns the
-    permutation (device array)."""
+def direction_order_key(d: jnp.ndarray) -> jnp.ndarray:
+    """Sort key clustering rays by direction octant then dominant-axis
+    value — cheap coherence for bounce/shadow batches."""
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     octant = ((dx > 0).astype(jnp.int32)
               | ((dy > 0).astype(jnp.int32) << 1)
               | ((dz > 0).astype(jnp.int32) << 2))
     # secondary key: quantized polar angle of the dominant axes
-    key = octant.astype(jnp.float32) * 16.0 + (dy * 4.0 + dz)
-    return jnp.argsort(key)
+    return octant.astype(jnp.float32) * 16.0 + (dy * 4.0 + dz)
+
+
+def direction_order(d: jnp.ndarray):
+    """Permutation form of direction_order_key."""
+    return jnp.argsort(direction_order_key(d))
 
 
 def compact_mask(active: jnp.ndarray):

@@ -148,7 +148,7 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
     if num_lights == 0:
         return jnp.zeros(world_pos.shape, jnp.float32)
 
-    ldir, lcol, lint = process_light(scene.lights, world_pos)
+    ldir, lcol, lint, unbounded = process_light(scene.lights, world_pos)
     l = normalize(ldir)                               # (N, L, 3)
     f = brdf(mat_rows[:, None, :], n[:, None, :], view[:, None, :], l)
 
@@ -167,7 +167,10 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
     so = jnp.broadcast_to(shadow_o[None, :, :],
                           (num_lights, nrays, 3)).reshape(-1, 3)
     sd = jnp.swapaxes(l, 0, 1).reshape(-1, 3)
-    st = jnp.where(relevant, length(ldir), -1.0)  # -1 = dead lane
+    # Directional lights shadow to infinity (testShadow's TMax,
+    # ref: raytracing.slang:61); others to the light's distance.
+    reach = jnp.where(unbounded, INF, length(ldir))
+    st = jnp.where(relevant, reach, -1.0)  # -1 = dead lane
     st = jnp.swapaxes(st, 0, 1).reshape(-1)
     occluded = trace_any(scene, accel, so, sd, config.t_min,
                          st, config)
@@ -269,8 +272,24 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         # Retired rays trace with t_max = -1: the packet kernel drops
         # them at the root, and fully-dead tiles exit in one step.
         t_max = INF if depth == 0 else jnp.where(active, INF, -1.0)
-        t, tri, u, v = trace_closest(
-            scene, accel, o, d, config.t_min, t_max, config)
+        if config.sort_bounces and depth > 0:
+            # Wavefront re-sort: cluster live bounce rays by direction
+            # octant so packets stay coherent (the SIMT-reconvergence
+            # analogue, SURVEY.md H3).  Dead rays sort to the back so
+            # whole trailing tiles retire instantly.
+            from .ops import wavefront
+
+            okey = wavefront.direction_order_key(d)
+            key = jnp.where(active, okey, jnp.float32(1e9))
+            perm = jnp.argsort(key)
+            inv = jnp.argsort(perm)
+            t, tri, u, v = trace_closest(
+                scene, accel, o[perm], d[perm], config.t_min,
+                t_max[perm], config)
+            t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
+        else:
+            t, tri, u, v = trace_closest(
+                scene, accel, o, d, config.t_min, t_max, config)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,

@@ -1,0 +1,91 @@
+"""Full benchmark suite: the five BASELINE.json configs.
+
+Prints one JSON line per config and writes BENCH_FULL.json.
+(bench.py stays the driver's single-line entry point.)
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def time_loop(loop, cam, frames=5):
+    import numpy as np
+
+    loop.step(cam)  # compile + warm history
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        img = loop.step(cam)
+    jax.block_until_ready(img)
+    return (time.perf_counter() - t0) / frames, np.asarray(img).shape
+
+
+def main():
+    import bench
+    from hrt_tpu.config import RenderConfig
+    from hrt_tpu.frameloop import FrameLoop
+    from hrt_tpu.models.camera import Camera
+    from hrt_tpu.models.scenefile import cornell_box
+
+    results = []
+
+    def run(name, scene, cam, cfg, spp_note=""):
+        loop = FrameLoop(scene, cfg, cull_threshold_px=0.0)
+        dt, shape = time_loop(loop, cam)
+        rays = bench.rays_per_frame(cfg, loop.scene.lights.shape[0])
+        rec = {
+            "config": name,
+            "resolution": f"{cfg.width}x{cfg.height}",
+            "output": "x".join(map(str, shape[:2])),
+            "ms_per_frame": round(dt * 1e3, 2),
+            "mrays_per_sec": round(rays / dt / 1e6, 1),
+            "max_depth": cfg.max_depth,
+            "notes": spp_note,
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+
+    demo_cam = Camera(position=(0, -1, -6), rotation=(-0.15, 0, 0))
+    cornell_cam = Camera(position=(0, 0, -3.2), fov_y=0.7)
+
+    # 1. Primary rays only (config 1)
+    run("primary_800x600", bench.build_bench_scene(), demo_cam,
+        RenderConfig(width=800, height=600, max_depth=1, sky=True,
+                     traversal="pallas"))
+
+    # 2. Whitted-style: reflections + refractions + hard shadows
+    run("whitted_800x600", cornell_box(), cornell_cam,
+        RenderConfig(width=800, height=600, max_depth=4, indirect=True,
+                     russian_roulette=False, traversal="pallas"))
+
+    # 3. Triangle-mesh scene with LBVH build + traversal (cornell)
+    run("mesh_bvh_800x600", cornell_box(), cornell_cam,
+        RenderConfig(width=800, height=600, max_depth=2, sky=False,
+                     traversal="pallas"))
+
+    # 4. Full path tracing at 1080p 1spp (north star: < 16 ms)
+    run("path_tracing_1080p", bench.build_bench_scene(), demo_cam,
+        RenderConfig(width=1920, height=1080, max_depth=5, sky=True,
+                     indirect=True, jitter=True, accumulate=True,
+                     traversal="pallas"))
+
+    # 5. 4K output: 1080p path traced -> SVGF denoise -> 2x upscale
+    run("animated_4k_upscaled", bench.build_bench_scene(), demo_cam,
+        RenderConfig(width=1920, height=1080, max_depth=3, sky=True,
+                     indirect=True, jitter=True, denoise=True,
+                     upscale=2, traversal="pallas"),
+        spp_note="3840x2160 output via denoise + learned 2x upscale")
+
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
