@@ -9,6 +9,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import time
 
@@ -71,8 +72,17 @@ def main(argv=None) -> None:
                     default=(0.0, 0.0, -2.0, 0.0, 0.0, 0.0))
     ap.add_argument("--gamma", type=float, default=2.2)
     ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--upscale", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--upscaler-ckpt", default=None,
+                    help="orbax checkpoint dir (scripts/train_upscaler)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz frame-loop state to resume/save")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="enable jax_debug_nans (numeric race detector)")
     args = ap.parse_args(argv)
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.config:
         cfg = CONFIGS[args.config]
     else:
@@ -80,6 +90,7 @@ def main(argv=None) -> None:
                            spp=args.spp, max_depth=args.max_depth,
                            sky=args.sky, indirect=args.indirect,
                            jitter=args.indirect, denoise=args.denoise,
+                           upscale=args.upscale,
                            traversal=args.traversal)
 
     from .frameloop import FrameLoop
@@ -87,9 +98,21 @@ def main(argv=None) -> None:
     build_step("SCENE", 0, 2, f"Loading scene '{args.scene}'...")
     scene_obj = load_scene(args.scene)
     build_step("SCENE", 1, 2, "Building scene + acceleration structure...")
+    up_params = None
+    if args.upscaler_ckpt:
+        from .models import upscaler as up_mod
+        from .utils.checkpoint import load_params
+
+        _, fresh, _ = up_mod.create()
+        up_params = load_params(args.upscaler_ckpt, fresh.params)
     loop = FrameLoop(scene_obj, cfg,
+                     upscaler_params=up_params,
                      cull_threshold_px=1.0 if args.frames > 1 else 0.0)
     scene = loop.scene
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        loop.load_state(args.checkpoint)
+        logger.info("resumed frame-loop state from %s (frame %d)",
+                    args.checkpoint, loop.frame)
     build_step("SCENE", 2, 2, "Scene created!")
 
     stats = FrameStats()
@@ -111,6 +134,10 @@ def main(argv=None) -> None:
             out = args.out
         write_png(out, tonemap(jax.device_get(img), gamma=args.gamma))
         logger.info("frame %d -> %s (%.1f ms)", f, out, dt * 1e3)
+
+    if args.checkpoint:
+        loop.save_state(args.checkpoint)
+        logger.info("saved frame-loop state to %s", args.checkpoint)
 
     if args.stats:
         print(json.dumps({
