@@ -35,6 +35,12 @@ class RenderConfig:
     # <=1M rays (84 -> 110 ms/frame on the bench scene), so off by
     # default; useful for very deep incoherent paths.
     sort_bounces: bool = False
+    brdf: str = "disney"             # disney | pbr (glTF metallic-rough)
+    # Many-light NEE: 0 = shadow ray per light (reference behavior,
+    # raytracing.slang:77-85); N>0 = sample N lights per shading point
+    # by unshadowed contribution (the light-BVH stand-in the reference
+    # comments toward at raytracing.slang:76).
+    light_samples: int = 0
     # Post pipeline (phase 5):
     denoise: bool = False
     upscale: int = 1                 # 1 = off, 2 = 2x learned upscale

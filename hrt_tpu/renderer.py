@@ -136,21 +136,80 @@ def interpolate_hit(scene: SceneData, tri_idx, u, v):
     return normalize(normal), uv, mat_id
 
 
+def eval_brdf(config: RenderConfig, mat, n, v, l):
+    """Material-model dispatch: Disney (default, parity) or the glTF
+    metallic-roughness alternative (ref: shaders/pbr.slang)."""
+    if config.brdf == "pbr":
+        from .ops import pbr
+
+        return pbr.bsdf_evaluate_simple(mat, n, v, l)
+    return brdf(mat, n, v, l)
+
+
+def _direct_sampled(scene: SceneData, accel, mat_rows, n, view,
+                    world_pos, config: RenderConfig, ray_mask, seed):
+    """Many-light NEE: importance-sample `light_samples` lights per
+    shading point by unshadowed contribution (intensity x NdotL x
+    luminance) — the light-hierarchy stand-in the reference's comment
+    points at (raytracing.slang:76).  Shadow rays per point: S, not L."""
+    from .ops.math3d import luminance
+
+    nrays = world_pos.shape[0]
+    ar = jnp.arange(nrays)
+    ldir_all, lcol_all, lint_all, unb_all = process_light(
+        scene.lights, world_pos)
+    l_all = normalize(ldir_all)                       # (N, L, 3)
+    ndotl = jnp.maximum(jnp.sum(n[:, None, :] * l_all, -1), 0.0)
+    w = ndotl * lint_all * (luminance(lcol_all)[None] + 1e-3)
+    w = jnp.where(lint_all >= config.light_threshold, w, 0.0) + 1e-12
+    cdf = jnp.cumsum(w, axis=1)
+    total = cdf[:, -1]
+
+    out = jnp.zeros((nrays, 3), jnp.float32)
+    s_count = config.light_samples
+    for _ in range(s_count):
+        u, seed = rng.rand(seed)
+        pick = jnp.argmax(cdf >= (u * total)[:, None], axis=1)
+        pdf = w[ar, pick] / total
+        l = l_all[ar, pick]
+        f = eval_brdf(config, mat_rows, n, view, l)
+        relevant = (w[ar, pick] > 1e-9)
+        if ray_mask is not None:
+            relevant = relevant & ray_mask
+        so = world_pos + n * config.normal_offset
+        reach = jnp.where(unb_all[pick], INF,
+                          length(ldir_all[ar, pick]))
+        st = jnp.where(relevant, reach, -1.0)
+        occluded = trace_any(scene, accel, so, l, config.t_min, st,
+                             config)
+        vis = 1.0 - occluded.astype(jnp.float32)
+        contrib = (f * lcol_all[pick] * lint_all[ar, pick, None]
+                   * vis[:, None] / jnp.maximum(pdf, 1e-9)[:, None])
+        out = out + jnp.where(relevant[:, None], contrib, 0.0)
+    return out / jnp.float32(s_count), seed
+
+
 def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
-                    config: RenderConfig, ray_mask=None):
-    """NEE over all scene lights with one shadow ray each
-    (ref: calculateColor, shaders/raytracing.slang:72-88).
+                    config: RenderConfig, ray_mask=None, seed=None):
+    """NEE over scene lights (ref: calculateColor,
+    shaders/raytracing.slang:72-88): one shadow ray per light, or
+    importance-sampled when config.light_samples > 0.
 
     ray_mask (N,) bool: rays that actually hit a surface — dead rays get
     t_max = -1 so the packet kernel retires them at the root (a whole
-    dead tile exits in one iteration)."""
+    dead tile exits in one iteration).  Returns (color, seed)."""
     num_lights = scene.lights.shape[0]
     if num_lights == 0:
-        return jnp.zeros(world_pos.shape, jnp.float32)
+        return jnp.zeros(world_pos.shape, jnp.float32), seed
+    if (config.light_samples and seed is not None
+            and num_lights > config.light_samples):
+        return _direct_sampled(scene, accel, mat_rows, n, view,
+                               world_pos, config, ray_mask, seed)
 
     ldir, lcol, lint, unbounded = process_light(scene.lights, world_pos)
     l = normalize(ldir)                               # (N, L, 3)
-    f = brdf(mat_rows[:, None, :], n[:, None, :], view[:, None, :], l)
+    f = eval_brdf(config, mat_rows[:, None, :], n[:, None, :],
+                  view[:, None, :], l)
 
     # A shadow ray only matters when the BRDF can be nonzero and the
     # light passes the intensity threshold (raytracing.slang:78-79).
@@ -178,7 +237,8 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
         occluded.reshape(num_lights, nrays), 0, 1).astype(jnp.float32)
 
     contrib = f * lcol[None] * lint[..., None] * visible[..., None]
-    return jnp.sum(jnp.where(relevant[..., None], contrib, 0.0), axis=1)
+    return jnp.sum(jnp.where(relevant[..., None], contrib, 0.0),
+                   axis=1), seed
 
 
 def _refract(view, n, eta):
@@ -307,8 +367,9 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         # Flip normal to face the viewer (ref: raytracing.slang:157-158).
         nrm = jnp.where(entering[:, None], nrm, -nrm)
 
-        direct = direct_lighting(scene, accel, mat_rows, nrm, view,
-                                 world_pos, config, ray_mask=hit)
+        direct, seed = direct_lighting(scene, accel, mat_rows, nrm, view,
+                                       world_pos, config, ray_mask=hit,
+                                       seed=seed)
         emissive = (mat_rows[:, M.EMISSIVE]
                     * mat_rows[:, M.EMISSION_STRENGTH, None])
         radiance = radiance + jnp.where(
