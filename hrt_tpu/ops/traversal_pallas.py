@@ -38,7 +38,12 @@ import os
 # per-node scalar work over more rays, smaller cuts packet divergence.
 TILE_ROWS = int(os.environ.get("HRT_TILE_ROWS", "64"))
 TILE_LANES = 128
+# Independent tile walks per kernel instance: the walks' serial
+# fetch->reduce->branch chains are data-independent, letting the VLIW
+# scheduler overlap one walk's latency with another's vector math.
+WALKS = int(os.environ.get("HRT_WALKS", "1"))
 TILE = TILE_ROWS * TILE_LANES
+BLOCK_ROWS = TILE_ROWS * WALKS
 # Leaf-loop unroll factor: higher = faster steady-state, much slower
 # Mosaic compile (measured: 1 -> ~40 s, 4 -> ~8 min on the bench scene).
 LEAF_UNROLL = int(os.environ.get("HRT_LEAF_UNROLL", "4"))
@@ -146,40 +151,60 @@ def _moller(tri, ox, oy, oz, dx, dy, dz, t_min, t_limit):
 
 
 def _make_kernel(m_real: int, leaf_size: int, t_min: float,
-                 find_closest: bool):
+                 find_closest: bool, walks: int = WALKS):
+    rows = TILE_ROWS
+
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, tris_ref,
                t_ref, tri_ref, u_ref, v_ref):
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         tiny = jnp.float32(1e-20)
+        tmin = jnp.float32(t_min)
 
         def inv(c):
             safe = jnp.where(jnp.abs(c) < tiny,
                              jnp.where(c < 0, -tiny, tiny), c)
             return 1.0 / safe
 
-        ix, iy, iz = inv(dx), inv(dy), inv(dz)
-        oix, oiy, oiz = ox * ix, oy * iy, oz * iz
-        tmin = jnp.float32(t_min)
+        # Per-walk ray planes (static row slices of the block).
+        rays = []
+        for g in range(walks):
+            s = slice(g * rows, (g + 1) * rows)
+            ox, oy, oz = ox_ref[s, :], oy_ref[s, :], oz_ref[s, :]
+            dx, dy, dz = dx_ref[s, :], dy_ref[s, :], dz_ref[s, :]
+            ix, iy, iz = inv(dx), inv(dy), inv(dz)
+            rays.append((ox * ix, oy * iy, oz * iz, ix, iy, iz,
+                         ox, oy, oz, dx, dy, dz))
 
-        best_t0 = tmax_ref[:]
-        best_i0 = jnp.full((TILE_ROWS, TILE_LANES), -1, jnp.int32)
-        zer = jnp.zeros((TILE_ROWS, TILE_LANES), jnp.float32)
+        def walk_state(g):
+            s = slice(g * rows, (g + 1) * rows)
+            return (jnp.int32(0), tmax_ref[s, :],
+                    jnp.full((rows, TILE_LANES), -1, jnp.int32),
+                    jnp.zeros((rows, TILE_LANES), jnp.float32),
+                    jnp.zeros((rows, TILE_LANES), jnp.float32))
 
-        def cond(state):
-            cur = state[0]
+        def walk_active(st):
+            cur = st[0]
             if find_closest:
                 return cur < m_real
             # shadow mode: stop early once every lane is occluded
             return (cur < m_real) & jnp.logical_not(
-                jnp.all(state[2] >= 0))
+                jnp.all(st[2] >= 0))
 
-        def body(state):
-            cur, best_t, best_i, bu, bv = state
-            box, leaf_code, skip = _node_fetch(nodes_ref, cur)
-            hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin, best_t)
-            any_hit = jnp.any(hit)
+        def cond(states):
+            alive = walk_active(states[0])
+            for g in range(1, walks):
+                alive = alive | walk_active(states[g])
+            return alive
+
+        def step_walk(st, ray):
+            cur, best_t, best_i, bu, bv = st
+            active = walk_active(st)
+            oix, oiy, oiz, ix, iy, iz, ox, oy, oz, dx, dy, dz = ray
+            box, leaf_code, skip = _node_fetch(
+                nodes_ref, jnp.minimum(cur, m_real - 1))
+            hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin,
+                             best_t)
+            any_hit = jnp.any(hit) & active
             is_leaf = leaf_code > 0
 
             def do_leaf(args):
@@ -195,10 +220,10 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                 while leaf_size % unroll:
                     unroll -= 1
 
-                def tri_body(g, args):
+                def tri_body(gk, args):
                     best_t, best_i, bu, bv = args
                     for kk in range(unroll):
-                        k = g * unroll + kk
+                        k = gk * unroll + kk
                         tri = _tri_vecs(rec, lane0 + k)
                         h, t, u, v = _moller(tri, ox, oy, oz, dx, dy, dz,
                                              tmin, best_t)
@@ -209,23 +234,33 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                             best_t = jnp.where(h, t, best_t)
                     return best_t, best_i, bu, bv
 
-                return jax.lax.fori_loop(0, leaf_size // unroll, tri_body,
+                return jax.lax.fori_loop(0, leaf_size // unroll,
+                                         tri_body,
                                          (best_t, best_i, bu, bv))
 
             take_leaf = any_hit & is_leaf
             best_t, best_i, bu, bv = jax.lax.cond(
-                take_leaf, do_leaf, lambda a: a, (best_t, best_i, bu, bv))
+                take_leaf, do_leaf, lambda a: a,
+                (best_t, best_i, bu, bv))
 
             descend = any_hit & jnp.logical_not(is_leaf)
-            cur = jnp.where(descend, cur + 1, skip)
+            nxt = jnp.where(descend, cur + 1, skip)
+            cur = jnp.where(active, nxt, cur)
             return cur, best_t, best_i, bu, bv
 
-        state = (jnp.int32(0), best_t0, best_i0, zer, zer)
-        _, best_t, best_i, bu, bv = jax.lax.while_loop(cond, body, state)
-        t_ref[:] = best_t
-        tri_ref[:] = best_i
-        u_ref[:] = bu
-        v_ref[:] = bv
+        def body(states):
+            return tuple(step_walk(states[g], rays[g])
+                         for g in range(walks))
+
+        states = tuple(walk_state(g) for g in range(walks))
+        states = jax.lax.while_loop(cond, body, states)
+        for g in range(walks):
+            s = slice(g * rows, (g + 1) * rows)
+            _, best_t, best_i, bu, bv = states[g]
+            t_ref[s, :] = best_t
+            tri_ref[s, :] = best_i
+            u_ref[s, :] = bu
+            v_ref[s, :] = bv
 
     return kernel
 
@@ -241,10 +276,10 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
     Ray components are (R, 128) with R a multiple of 8; tile i owns rows
     [8i, 8i+8).  Returns (t, tri, u, v) in the same layout."""
     rows = ox.shape[0]
-    n_tiles = rows // TILE_ROWS
+    n_tiles = rows // BLOCK_ROWS
     kernel = _make_kernel(m_real, leaf_size, t_min, find_closest)
 
-    ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [
@@ -271,7 +306,8 @@ def _to_tiles(x: jnp.ndarray, n_pad: int, fill=0.0):
 def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
     flat = accel.flat
     n = o.shape[0]
-    n_pad = ((n + TILE - 1) // TILE) * TILE
+    quantum = BLOCK_ROWS * TILE_LANES
+    n_pad = ((n + quantum - 1) // quantum) * quantum
     nl = accel.tree.child_l.shape[0] + 1
     m_real = 2 * nl - 1
     leaf_size = accel.leaf_size
