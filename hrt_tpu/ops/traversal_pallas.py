@@ -48,17 +48,24 @@ BLOCK_ROWS = TILE_ROWS * WALKS
 # Mosaic compile (measured: 1 -> ~40 s, 4 -> ~8 min on the bench scene).
 LEAF_UNROLL = int(os.environ.get("HRT_LEAF_UNROLL", "4"))
 INF = jnp.float32(1e32)
-# VMEM budget gate: nodes (8 comps) + tris (9 comps) must fit ~12 MB.
-MAX_VMEM_F32 = 3_000_000
+# VMEM budgets (f32 words).  Small scenes keep node + triangle tables
+# resident in VMEM; larger ones keep only nodes resident and DMA leaf
+# triangle blocks from HBM on demand; beyond the node budget the jnp
+# stack traversal takes over (nodes streaming: ROADMAP item 6).
+MAX_VMEM_F32 = int(os.environ.get("HRT_MAX_VMEM_F32", "3000000"))
+MAX_NODE_F32 = 2_500_000
 
 
 def available() -> bool:
     return True
 
 
+def _tris_fit_vmem(flat) -> bool:
+    return flat.nodes.size + flat.tris.size <= MAX_VMEM_F32
+
+
 def _vmem_ok(flat) -> bool:
-    n = flat.nodes.size + flat.tris.size
-    return n <= MAX_VMEM_F32
+    return flat.nodes.size <= MAX_NODE_F32
 
 
 def _lane_scalar(row, lane):
@@ -93,11 +100,17 @@ def _node_fetch(nodes_ref, cur):
     return box, leaf_code, skip
 
 
-def _leaf_fetch(tris_ref, start):
+def _leaf_fetch(tris_ref, start, scratch=None, sem=None):
     """Load the row holding one leaf's K-triangle block (K | 128, so a
-    block never straddles a row)."""
+    block never straddles a row).  With scratch/sem, the table lives in
+    HBM and the row is DMA'd (big-scene mode)."""
     row = start // TILE_LANES
-    return tris_ref[pl.ds(row, 1)]                    # (1, 16, 128)
+    if scratch is None:
+        return tris_ref[pl.ds(row, 1)]                # (1, 16, 128)
+    dma = pltpu.make_async_copy(tris_ref.at[pl.ds(row, 1)], scratch, sem)
+    dma.start()
+    dma.wait()
+    return scratch[:]
 
 
 def _tri_vecs(rec, lane):
@@ -151,12 +164,13 @@ def _moller(tri, ox, oy, oz, dx, dy, dz, t_min, t_limit):
 
 
 def _make_kernel(m_real: int, leaf_size: int, t_min: float,
-                 find_closest: bool, walks: int = WALKS):
+                 find_closest: bool, walks: int = WALKS,
+                 tris_in_vmem: bool = True):
     rows = TILE_ROWS
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, tris_ref,
-               t_ref, tri_ref, u_ref, v_ref):
+               t_ref, tri_ref, u_ref, v_ref, *scratch):
         tiny = jnp.float32(1e-20)
         tmin = jnp.float32(t_min)
 
@@ -211,7 +225,11 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                 best_t, best_i, bu, bv = args
                 start = leaf_code - 1
                 lane0 = start % TILE_LANES
-                rec = _leaf_fetch(tris_ref, start)
+                if tris_in_vmem:
+                    rec = _leaf_fetch(tris_ref, start)
+                else:
+                    rec = _leaf_fetch(tris_ref, start, scratch[0],
+                                      scratch[1])
 
                 # Partial unroll inside a rolled loop: full unrolling
                 # blows up Mosaic compile time, fully rolled costs
@@ -277,11 +295,19 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
     [8i, 8i+8).  Returns (t, tri, u, v) in the same layout."""
     rows = ox.shape[0]
     n_tiles = rows // BLOCK_ROWS
-    kernel = _make_kernel(m_real, leaf_size, t_min, find_closest)
+    tris_in_vmem = (flat_nodes.size + flat_tris.size) <= MAX_VMEM_F32
+    kernel = _make_kernel(m_real, leaf_size, t_min, find_closest,
+                          tris_in_vmem=tris_in_vmem)
 
     ray_spec = pl.BlockSpec((BLOCK_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = vmem_spec if tris_in_vmem else pl.BlockSpec(
+        memory_space=pltpu.ANY)
+    scratch_shapes = [] if tris_in_vmem else [
+        pltpu.VMEM((1, 16, TILE_LANES), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
     out_shape = [
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32),
@@ -291,9 +317,10 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[ray_spec] * 7 + [table_spec] * 2,
+        in_specs=[ray_spec] * 7 + [vmem_spec, tri_spec],
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=(jax.default_backend() == "cpu"),
     )(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_tris)
 
