@@ -76,15 +76,20 @@ def _project(world_pos, cam_origin, cam_basis, tan_half_fovy, aspect,
 
 def _bilinear(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
     """Bilinear fetch of (H, W, C) at float coords; returns
-    (value, in_bounds mask)."""
+    (value, in_bounds mask).
+
+    Corner convention: pixel (i, j)'s sample sits at coordinate (i, j)
+    — matching primary-ray generation (clip = launchID/size*2-1, ref:
+    raytracing.slang:100), so a static camera reprojects exactly onto
+    itself (no half-pixel history blur)."""
     h, w = img.shape[0], img.shape[1]
-    x0 = jnp.floor(px - 0.5)
-    y0 = jnp.floor(py - 0.5)
-    fx = (px - 0.5) - x0
-    fy = (py - 0.5) - y0
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
-    inb = (px >= 0.5) & (px <= w - 0.5) & (py >= 0.5) & (py <= h - 0.5)
+    inb = (px >= 0.0) & (px <= w - 1.0) & (py >= 0.0) & (py <= h - 1.0)
 
     def tap(yy, xx, wgt):
         yy = jnp.clip(yy, 0, h - 1)
