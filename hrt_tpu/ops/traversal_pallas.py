@@ -47,6 +47,8 @@ BLOCK_ROWS = TILE_ROWS * WALKS
 # Leaf-loop unroll factor: higher = faster steady-state, much slower
 # Mosaic compile (measured: 1 -> ~40 s, 4 -> ~8 min on the bench scene).
 LEAF_UNROLL = int(os.environ.get("HRT_LEAF_UNROLL", "4"))
+# Emit per-tile (visits, leaf_visits) counters (perf instrumentation).
+DEBUG_COUNTERS = bool(int(os.environ.get("HRT_DEBUG_COUNTERS", "0")))
 INF = jnp.float32(1e32)
 # VMEM budgets (f32 words).  Small scenes keep node + triangle tables
 # resident in VMEM; larger ones keep only nodes resident and DMA leaf
@@ -170,7 +172,11 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, tris_ref,
-               t_ref, tri_ref, u_ref, v_ref, *scratch):
+               t_ref, tri_ref, u_ref, v_ref, *rest):
+        if DEBUG_COUNTERS:
+            cnt_ref, *scratch = rest
+        else:
+            scratch = rest
         tiny = jnp.float32(1e-20)
         tmin = jnp.float32(t_min)
 
@@ -194,7 +200,8 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             return (jnp.int32(0), tmax_ref[s, :],
                     jnp.full((rows, TILE_LANES), -1, jnp.int32),
                     jnp.zeros((rows, TILE_LANES), jnp.float32),
-                    jnp.zeros((rows, TILE_LANES), jnp.float32))
+                    jnp.zeros((rows, TILE_LANES), jnp.float32),
+                    jnp.int32(0), jnp.int32(0))  # visit/leaf counters
 
         def walk_active(st):
             cur = st[0]
@@ -211,7 +218,7 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             return alive
 
         def step_walk(st, ray):
-            cur, best_t, best_i, bu, bv = st
+            cur, best_t, best_i, bu, bv, n_vis, n_leaf = st
             active = walk_active(st)
             oix, oiy, oiz, ix, iy, iz, ox, oy, oz, dx, dy, dz = ray
             box, leaf_code, skip = _node_fetch(
@@ -264,7 +271,9 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             descend = any_hit & jnp.logical_not(is_leaf)
             nxt = jnp.where(descend, cur + 1, skip)
             cur = jnp.where(active, nxt, cur)
-            return cur, best_t, best_i, bu, bv
+            n_vis = n_vis + active.astype(jnp.int32)
+            n_leaf = n_leaf + take_leaf.astype(jnp.int32)
+            return cur, best_t, best_i, bu, bv, n_vis, n_leaf
 
         def body(states):
             return tuple(step_walk(states[g], rays[g])
@@ -274,11 +283,15 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
         states = jax.lax.while_loop(cond, body, states)
         for g in range(walks):
             s = slice(g * rows, (g + 1) * rows)
-            _, best_t, best_i, bu, bv = states[g]
+            _, best_t, best_i, bu, bv, n_vis, n_leaf = states[g]
             t_ref[s, :] = best_t
             tri_ref[s, :] = best_i
             u_ref[s, :] = bu
             v_ref[s, :] = bv
+            if DEBUG_COUNTERS:
+                cnt_ref[s, :] = jnp.full((rows, TILE_LANES),
+                                         1, jnp.int32) * (
+                    n_vis * 65536 + n_leaf)
 
     return kernel
 
@@ -308,21 +321,28 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
         pltpu.VMEM((1, 16, TILE_LANES), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
+    n_out = 5 if DEBUG_COUNTERS else 4
     out_shape = [
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32),
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
     ]
-    return pl.pallas_call(
+    if DEBUG_COUNTERS:
+        out_shape.append(
+            jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32))
+    out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[ray_spec] * 7 + [vmem_spec, tri_spec],
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=(jax.default_backend() == "cpu"),
     )(ox, oy, oz, dx, dy, dz, tmax, flat_nodes, flat_tris)
+    # With DEBUG_COUNTERS a 5th output packs (visits << 16 | leaves)
+    # per walk (see scripts/kernel_stats.py); callers unpack [:4].
+    return tuple(out)
 
 
 def _to_tiles(x: jnp.ndarray, n_pad: int, fill=0.0):
@@ -347,7 +367,7 @@ def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
     t, tri, u, v = _trace_tiles(
         *comps, flat.nodes, flat.tris,
         m_real=m_real, leaf_size=leaf_size, t_min=float(t_min),
-        find_closest=find_closest)
+        find_closest=find_closest)[:4]
     flat_out = lambda a: a.reshape(-1)[:n]
     return flat_out(t), flat_out(tri), flat_out(u), flat_out(v)
 
