@@ -87,18 +87,33 @@ def _lane_vec(row, lane):
     return jnp.sum(jnp.where(idx == lane, row, 0), axis=-1, keepdims=True)
 
 
+def _record_extract(rec, lane):
+    """All sublane components of a record row at `lane` in ONE
+    sublane-parallel masked lane-reduction: (1, C, 128) -> (1, C, 1).
+    The VPU reduces every sublane simultaneously, so this costs the
+    same as one per-component reduce — the single biggest win in the
+    per-visit fixed cost (9 reductions -> 1)."""
+    mask = jax.lax.broadcasted_iota(jnp.int32, rec.shape, 2) == lane
+    return jnp.sum(jnp.where(mask, rec, 0.0), axis=2, keepdims=True)
+
+
 def _node_fetch(nodes_ref, cur):
-    """Fetch one flat-BVH node record: ONE row load, then per-value
-    one-hot lane reductions (box values stay vectors; the two i32
-    controls — carried as raw bits in f32 sublanes 6/7 — become
-    scalars for the walk logic)."""
+    """Fetch one flat-BVH node record: ONE row load + ONE f32 reduce
+    for the box + ONE i32 reduce for the two bit-carried controls
+    (bitcast BEFORE reducing — summing the raw bits as f32 would flush
+    small-integer denormal patterns to zero)."""
     row = cur // TILE_LANES
     lane = cur % TILE_LANES
     rec = nodes_ref[pl.ds(row, 1)]                    # (1, 8, 128)
-    box = [_lane_vec(rec[:, c, :], lane) for c in range(6)]
-    leaf_code = _lane_scalar(pltpu.bitcast(rec[:, 6, :], jnp.int32),
-                             lane)
-    skip = _lane_scalar(pltpu.bitcast(rec[:, 7, :], jnp.int32), lane)
+    r = _record_extract(rec, lane)                    # (1, 8, 1)
+    box = [r[:, c, :] for c in range(6)]
+    mask = jax.lax.broadcasted_iota(jnp.int32, (1, 2, TILE_LANES),
+                                    2) == lane
+    meta = jnp.sum(jnp.where(mask, pltpu.bitcast(rec[:, 6:8, :],
+                                                 jnp.int32), 0),
+                   axis=2, keepdims=True)             # (1, 2, 1)
+    leaf_code = jnp.sum(meta[:, 0, :])
+    skip = jnp.sum(meta[:, 1, :])
     return box, leaf_code, skip
 
 
@@ -116,8 +131,10 @@ def _leaf_fetch(tris_ref, start, scratch=None, sem=None):
 
 
 def _tri_vecs(rec, lane):
-    """Triangle values at `lane` (traced) as (1,1) vectors."""
-    return [_lane_vec(rec[:, c, :], lane) for c in range(9)]
+    """Triangle values at `lane` (traced) as (1,1) vectors — one
+    sublane-parallel reduce for all 9 components."""
+    r = _record_extract(rec, lane)                    # (1, 16, 1)
+    return [r[:, c, :] for c in range(9)]
 
 
 def _slab_test(box, oix, oiy, oiz, ix, iy, iz, t_min, t_limit):
