@@ -16,15 +16,19 @@ import jax
 import jax.numpy as jnp
 
 
-def time_loop(loop, cam, frames=5):
+def time_loop(loop, cam, frames=4, batches=3):
+    """Best-of-batches (the tunneled chip has ~2x clock variance)."""
     import numpy as np
 
     loop.step(cam)  # compile + warm history
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        img = loop.step(cam)
-    jax.block_until_ready(img)
-    return (time.perf_counter() - t0) / frames, np.asarray(img).shape
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            img = loop.step(cam)
+        jax.block_until_ready(img)
+        best = min(best, (time.perf_counter() - t0) / frames)
+    return best, np.asarray(img).shape
 
 
 def main():
