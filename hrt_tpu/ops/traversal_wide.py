@@ -1,0 +1,240 @@
+"""Masked stack walk over the implicit 8-ary BVH (ops/wide.py).
+
+Attacks the binary skip-walk's measured bottleneck (per-visit fixed
+cost): each EXPANSION slab-tests all 8 children of a node against the
+whole ray tile and records a hit bitmask; the walk then descends
+mask-bit by mask-bit with a tiny SMEM stack of (node, mask) entries.
+Inner iterations drop ~4x vs the binary walk at ~2x vector work each.
+
+Shares the leaf machinery (and the leaf-ordered triangle pool) with
+ops/traversal_pallas.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .traversal_pallas import (BLOCK_ROWS, LEAF_UNROLL, TILE_LANES,
+                               TILE_ROWS, _leaf_fetch, _moller,
+                               _record_extract, _slab_test, _to_tiles,
+                               _tri_vecs, _vmem_ok)
+from .wide import ARITY, WideAccel, level_offset
+
+MAX_LEVELS = 9  # 8^9 leaves = plenty
+
+
+def _ctz(x):
+    """Count trailing zeros of a positive scalar i32."""
+    low = x & (-x)
+    return 31 - jax.lax.clz(low)
+
+
+def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
+                 t_min: float, find_closest: bool):
+    rows = TILE_ROWS
+    stack_depth = levels + 2
+    offsets = [level_offset(l) for l in range(levels + 1)]
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               recs_ref, tris_ref, t_ref, tri_ref, u_ref, v_ref,
+               snode, smask, *dma_scratch):
+        tiny = jnp.float32(1e-20)
+        tmin = jnp.float32(t_min)
+
+        def inv(c):
+            safe = jnp.where(jnp.abs(c) < tiny,
+                             jnp.where(c < 0, -tiny, tiny), c)
+            return 1.0 / safe
+
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+
+        def expand(g, best_t):
+            """Slab-test the 8 children of internal node g; returns the
+            hit bitmask as a scalar."""
+            row = g // 16
+            base = (g % 16) * ARITY
+            rec = recs_ref[pl.ds(row, 1)]            # (1, 8, 128)
+            mask = jnp.int32(0)
+            for j in range(ARITY):
+                r = _record_extract(rec, base + j)   # (1, 8, 1)
+                box = [r[:, c, :] for c in range(6)]
+                hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz,
+                                 tmin, best_t)
+                mask = mask | (jnp.any(hit).astype(jnp.int32) << j)
+            return mask
+
+        def do_leaf(leaf_idx, args):
+            best_t, best_i, bu, bv = args
+            start = leaf_idx * leaf_size
+            lane0 = start % TILE_LANES
+            if dma_scratch:
+                rec = _leaf_fetch(tris_ref, start, dma_scratch[0],
+                                  dma_scratch[1])
+            else:
+                rec = _leaf_fetch(tris_ref, start)
+            unroll = min(LEAF_UNROLL, leaf_size)
+            while leaf_size % unroll:
+                unroll -= 1
+
+            def tri_body(gk, args):
+                best_t, best_i, bu, bv = args
+                for kk in range(unroll):
+                    k = gk * unroll + kk
+                    tri = _tri_vecs(rec, lane0 + k)
+                    h, t, u, v = _moller(tri, ox, oy, oz, dx, dy, dz,
+                                         tmin, best_t)
+                    best_i = jnp.where(h, start + k, best_i)
+                    if find_closest:
+                        bu = jnp.where(h, u, bu)
+                        bv = jnp.where(h, v, bv)
+                        best_t = jnp.where(h, t, best_t)
+                return best_t, best_i, bu, bv
+
+            return jax.lax.fori_loop(0, leaf_size // unroll, tri_body,
+                                     (best_t, best_i, bu, bv))
+
+        best_t0 = tmax_ref[:]
+        best_i0 = jnp.full((rows, TILE_LANES), -1, jnp.int32)
+        zer = jnp.zeros((rows, TILE_LANES), jnp.float32)
+
+        # Root expansion primes the stack.
+        root_mask = expand(0, best_t0)
+        snode[0] = jnp.int32(0)          # idx 0, level 0
+        smask[0] = root_mask
+        sp0 = jnp.where(root_mask != 0, 1, 0).astype(jnp.int32)
+
+        def cond(state):
+            sp = state[0]
+            alive = sp > 0
+            if not find_closest:
+                alive = alive & jnp.logical_not(jnp.all(state[2] >= 0))
+            return alive
+
+        def body(state):
+            sp, best_t, best_i, bu, bv = state
+            top = snode[sp - 1]
+            m = smask[sp - 1]
+            c = _ctz(m)
+            m2 = m & (m - 1)
+            smask[sp - 1] = m2
+            level = top & 15
+            idx = top >> 4
+            cidx = idx * ARITY + c
+            # Parent slot is reusable once its mask is exhausted.
+            slot = jnp.where(m2 == 0, sp - 1, sp)
+
+            child_is_leaf = level + 1 == levels
+
+            def leaf_branch(args):
+                return do_leaf(cidx, args)
+
+            best_t, best_i, bu, bv = jax.lax.cond(
+                child_is_leaf, leaf_branch, lambda a: a,
+                (best_t, best_i, bu, bv))
+
+            def expand_branch(_):
+                off = jnp.int32(0)
+                for l in range(1, levels):
+                    off = jnp.where(level + 1 == l,
+                                    jnp.int32(offsets[l]), off)
+                return expand(off + cidx, best_t)
+
+            cmask = jax.lax.cond(child_is_leaf, lambda _: jnp.int32(0),
+                                 expand_branch, 0)
+
+            push = cmask != 0
+            snode[slot] = jnp.where(push, (cidx << 4) | (level + 1),
+                                    snode[slot])
+            smask[slot] = jnp.where(push, cmask, smask[slot])
+            sp = jnp.where(push, slot + 1, slot)
+            return sp, best_t, best_i, bu, bv
+
+        state = (sp0, best_t0, best_i0, zer, zer)
+        _, best_t, best_i, bu, bv = jax.lax.while_loop(cond, body, state)
+        t_ref[:] = best_t
+        tri_ref[:] = best_i
+        u_ref[:] = bu
+        v_ref[:] = bv
+
+    return kernel, stack_depth
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("levels", "num_leaves", "leaf_size",
+                                    "t_min", "find_closest"))
+def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
+                 levels: int, num_leaves: int, leaf_size: int,
+                 t_min: float, find_closest: bool):
+    rows = ox.shape[0]
+    assert TILE_ROWS == BLOCK_ROWS, \
+        "wide kernel does not support HRT_WALKS > 1"
+    n_tiles = rows // TILE_ROWS
+    kernel, stack_depth = _make_kernel(levels, num_leaves, leaf_size,
+                                       t_min, find_closest)
+    tris_in_vmem = (records.size + flat_tris.size) <= 3_000_000
+
+    ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = vmem_spec if tris_in_vmem else pl.BlockSpec(
+        memory_space=pltpu.ANY)
+    scratch = [
+        pltpu.SMEM((stack_depth,), jnp.int32),
+        pltpu.SMEM((stack_depth,), jnp.int32),
+    ]
+    if not tris_in_vmem:
+        scratch += [pltpu.VMEM((1, 16, TILE_LANES), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())]
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[ray_spec] * 7 + [vmem_spec, tri_spec],
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=(jax.default_backend() == "cpu"),
+    )(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris)
+
+
+def _run(waccel: WideAccel, o, d, t_min, t_max, find_closest: bool):
+    n = o.shape[0]
+    quantum = TILE_ROWS * TILE_LANES
+    n_pad = ((n + quantum - 1) // quantum) * quantum
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    comps = [_to_tiles(o[:, 0], n_pad), _to_tiles(o[:, 1], n_pad),
+             _to_tiles(o[:, 2], n_pad), _to_tiles(d[:, 0], n_pad),
+             _to_tiles(d[:, 1], n_pad), _to_tiles(d[:, 2], n_pad),
+             _to_tiles(tmax, n_pad, fill=-1.0)]
+    t, tri, u, v = _trace_tiles(
+        *comps, waccel.wide.records, waccel.base.flat.tris,
+        levels=waccel.levels, num_leaves=waccel.num_leaves,
+        leaf_size=waccel.base.leaf_size, t_min=float(t_min),
+        find_closest=find_closest)
+    out = lambda a: a.reshape(-1)[:n]
+    return out(t), out(tri), out(u), out(v)
+
+
+def closest_hit(scene, waccel: WideAccel, o, d, t_min, t_max):
+    t, tri_sorted, u, v = _run(waccel, o, d, t_min, t_max, True)
+    tri = jnp.where(tri_sorted >= 0,
+                    waccel.base.tree.tri_perm[jnp.maximum(tri_sorted, 0)],
+                    -1)
+    return t, tri, u, v
+
+
+def any_hit(scene, waccel: WideAccel, o, d, t_min, t_max):
+    _, tri_sorted, _, _ = _run(waccel, o, d, t_min, t_max, False)
+    return tri_sorted >= 0
