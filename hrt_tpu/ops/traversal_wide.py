@@ -35,9 +35,14 @@ def _ctz(x):
 
 def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
                  t_min: float, find_closest: bool):
+    """levels >= 1: implicit equal-count tree; levels == -1: explicit
+    collapsed tree (child ids/leaf codes bitcast in record sublane 6,
+    see wide.build_wide_collapsed)."""
     rows = TILE_ROWS
-    stack_depth = levels + 2
-    offsets = [level_offset(l) for l in range(levels + 1)]
+    explicit = levels < 0
+    stack_depth = 26 if explicit else levels + 2
+    offsets = ([] if explicit
+               else [level_offset(l) for l in range(levels + 1)])
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                recs_ref, tris_ref, t_ref, tri_ref, u_ref, v_ref,
@@ -117,6 +122,15 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
                 alive = alive & jnp.logical_not(jnp.all(state[2] >= 0))
             return alive
 
+        def _child_meta(g, c):
+            """Explicit mode: child c's metadata from node g's record."""
+            row = g // 16
+            base = (g % 16) * ARITY
+            rec = recs_ref[pl.ds(row, 1)]
+            metas = pltpu.bitcast(rec[:, 6, :], jnp.int32)  # (1, 128)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_LANES), 1)
+            return jnp.sum(jnp.where(idx == base + c, metas, 0))
+
         def body(state):
             sp, best_t, best_i, bu, bv = state
             top = snode[sp - 1]
@@ -124,34 +138,50 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
             c = _ctz(m)
             m2 = m & (m - 1)
             smask[sp - 1] = m2
-            level = top & 15
-            idx = top >> 4
-            cidx = idx * ARITY + c
             # Parent slot is reusable once its mask is exhausted.
             slot = jnp.where(m2 == 0, sp - 1, sp)
 
-            child_is_leaf = level + 1 == levels
+            if explicit:
+                meta = _child_meta(top, c)
+                child_is_leaf = meta < 0
+                leaf_idx = -meta - 1
+                child_node = meta       # wide id when internal
+                push_encoding = child_node
+            else:
+                level = top & 15
+                idx = top >> 4
+                cidx = idx * ARITY + c
+                child_is_leaf = level + 1 == levels
+                leaf_idx = cidx
+                off = jnp.int32(0)
+                for l in range(1, levels):
+                    off = jnp.where(level + 1 == l,
+                                    jnp.int32(offsets[l]), off)
+                child_node = off + cidx
+                push_encoding = (cidx << 4) | (level + 1)
 
             def leaf_branch(args):
-                return do_leaf(cidx, args)
+                return do_leaf(leaf_idx, args)
 
             best_t, best_i, bu, bv = jax.lax.cond(
                 child_is_leaf, leaf_branch, lambda a: a,
                 (best_t, best_i, bu, bv))
 
-            def expand_branch(_):
-                off = jnp.int32(0)
-                for l in range(1, levels):
-                    off = jnp.where(level + 1 == l,
-                                    jnp.int32(offsets[l]), off)
-                return expand(off + cidx, best_t)
-
-            cmask = jax.lax.cond(child_is_leaf, lambda _: jnp.int32(0),
-                                 expand_branch, 0)
+            if explicit:
+                # Guard: only expand genuine internal children (meta > 0
+                # — an empty slot's bit can never be set, but belt and
+                # braces against sentinel-box regressions).
+                do_expand = jnp.logical_not(child_is_leaf) & (meta > 0)
+            else:
+                do_expand = jnp.logical_not(child_is_leaf)
+            cmask = jax.lax.cond(
+                do_expand,
+                lambda _: expand(jnp.maximum(child_node, 0), best_t),
+                lambda _: jnp.int32(0),
+                jnp.int32(0))
 
             push = cmask != 0
-            snode[slot] = jnp.where(push, (cidx << 4) | (level + 1),
-                                    snode[slot])
+            snode[slot] = jnp.where(push, push_encoding, snode[slot])
             smask[slot] = jnp.where(push, cmask, smask[slot])
             sp = jnp.where(push, slot + 1, slot)
             return sp, best_t, best_i, bu, bv

@@ -92,6 +92,15 @@ def build_wide(accel: Accel) -> WideAccel:
         [lmax, jnp.full((nl_pad - nl, 3), -big, jnp.float32)])
 
     # Bottom-up level boxes; per-level child records.
+    # NOTE: inverted (min > max) "empty" boxes are only safe inside
+    # unions — the slab test re-sorts the slabs per ray-direction sign,
+    # which turns an inverted box into a valid (huge) one.  Record
+    # entries therefore use a point-at-infinity sentinel (big, big),
+    # which genuinely never hits (entry 3e38 > any t_max).
+    def sanitize(block):
+        empty = block[..., 0:1] > block[..., 3:4]
+        return jnp.where(empty, big, block)
+
     recs = []  # list of (8^l, 8, 6) child-box blocks for levels 0..levels-1
     cmin, cmax = lmin, lmax
     for lvl in range(levels - 1, -1, -1):
@@ -99,7 +108,7 @@ def build_wide(accel: Accel) -> WideAccel:
         block = jnp.concatenate(
             [cmin.reshape(n, ARITY, 3), cmax.reshape(n, ARITY, 3)],
             axis=2)                      # (n, 8, 6)
-        recs.append(block)
+        recs.append(sanitize(block))
         cmin = cmin.reshape(n, ARITY, 3).min(axis=1)
         cmax = cmax.reshape(n, ARITY, 3).max(axis=1)
     recs.reverse()                       # level 0 first
@@ -107,8 +116,7 @@ def build_wide(accel: Accel) -> WideAccel:
 
     ni = all_nodes.shape[0]
     ni_pad = ((ni + 15) // 16) * 16
-    pad = jnp.zeros((ni_pad - ni, ARITY, 6), jnp.float32)
-    pad = pad.at[:, :, 0:3].set(big).at[:, :, 3:6].set(-big)
+    pad = jnp.full((ni_pad - ni, ARITY, 6), big, jnp.float32)
     all_nodes = jnp.concatenate([all_nodes, pad], axis=0)
     # (NIp, 8, 6) -> rows of 16 nodes: (R, 16, 8, 6) -> (R, 6, 16*8)
     r = ni_pad // 16
@@ -123,3 +131,109 @@ def build_wide(accel: Accel) -> WideAccel:
 def level_offset(lvl: int) -> int:
     """Breadth-first global id of the first node at internal level lvl."""
     return (ARITY ** lvl - 1) // (ARITY - 1)
+
+
+# ---------------------------------------------------------------------------
+# Karras-aligned collapse: explicit 8-wide nodes from the binary tree.
+# Child boxes respect the binary builder's (Morton/SAH) splits, so the
+# quality pathology of the implicit equal-count tree disappears.
+# Record layout matches the implicit one (boxes in sublanes 0..5) plus
+# per-child metadata bitcast into sublane 6:
+#   meta > 0  -> internal child, value = wide node id
+#   meta < 0  -> leaf child, value = -(leaf_id + 1)
+#   meta == 0 -> empty slot
+# ---------------------------------------------------------------------------
+
+def _cut3(child_l, child_r):
+    """For every binary internal node: its depth-3 cut (8 entries of
+    binary-node encoding: >=0 internal id, <0 leaf, EMPTY sentinel)."""
+    ni = child_l.shape[0]
+    EMPTY = jnp.int32(-(2 ** 30))
+
+    def expand(entries):
+        # entries: (Ni, k) -> (Ni, 2k)
+        is_int = entries >= 0
+        safe = jnp.clip(entries, 0, ni - 1)
+        left = jnp.where(is_int, child_l[safe], entries)
+        right = jnp.where(is_int, child_r[safe], EMPTY)
+        return jnp.stack([left, right], axis=-1).reshape(
+            entries.shape[0], -1)
+
+    lvl1 = jnp.stack([child_l, child_r], axis=1)       # (Ni, 2)
+    lvl2 = expand(lvl1)                                 # (Ni, 4)
+    lvl3 = expand(lvl2)                                 # (Ni, 8)
+    return lvl3, EMPTY
+
+
+def build_wide_collapsed(accel: Accel) -> WideAccel:
+    """Collapse the binary Karras/SAH tree into explicit 8-wide nodes."""
+    tree = accel.tree
+    ni = tree.child_l.shape[0]
+    cuts, EMPTY = _cut3(tree.child_l, tree.child_r)     # (Ni, 8)
+
+    # Which binary nodes become wide nodes: root + every internal cut
+    # entry of a wide node (fixed point within depth/3 sweeps).
+    flags = jnp.zeros((ni,), bool).at[0].set(True)
+    is_int = cuts >= 0
+    safe_int = jnp.clip(cuts, 0, ni - 1)
+
+    def sweep(_, flags):
+        src = flags[:, None] & is_int
+        return flags.at[jnp.where(src, safe_int, ni)].set(
+            True, mode="drop")
+
+    flags = jax.lax.fori_loop(0, 24, sweep, flags)
+
+    wid = jnp.cumsum(flags.astype(jnp.int32)) - 1       # binary -> wide id
+    lmin, lmax = _leaf_boxes(accel)
+    nl = lmin.shape[0]
+
+    # Per-entry boxes + metadata.
+    own_min = jnp.minimum(tree.bmin_l, tree.bmin_r)     # internal own box
+    own_max = jnp.maximum(tree.bmax_l, tree.bmax_r)
+    leaf_of = jnp.clip(-(cuts + 1), 0, nl - 1)
+    big = jnp.float32(3e38)
+    ent_min = jnp.where(
+        is_int[..., None], own_min[safe_int],
+        jnp.where(((cuts < 0) & (cuts != EMPTY))[..., None],
+                  lmin[leaf_of], big))
+    ent_max = jnp.where(
+        is_int[..., None], own_max[safe_int],
+        jnp.where(((cuts < 0) & (cuts != EMPTY))[..., None],
+                  lmax[leaf_of], big))  # empty = point at infinity
+    # Leaves that are pure padding have inverted boxes: sanitize.
+    inv = ent_min[..., 0:1] > ent_max[..., 0:1]
+    ent_min = jnp.where(inv, big, ent_min)
+    ent_max = jnp.where(inv, big, ent_max)
+    meta = jnp.where(is_int, wid[safe_int],
+                     jnp.where(cuts == EMPTY, 0, cuts))  # leaf: -(l+1)
+
+    # Compact flagged nodes into wide order (scatter by wid).
+    nw = ni  # static upper bound; unflagged rows stay empty
+    dst = jnp.where(flags, wid, nw)
+    ent_min_w = jnp.full((nw, ARITY, 3), big, jnp.float32).at[dst].set(
+        ent_min, mode="drop")
+    ent_max_w = jnp.full((nw, ARITY, 3), big, jnp.float32).at[dst].set(
+        ent_max, mode="drop")
+    meta_w = jnp.zeros((nw, ARITY), jnp.int32).at[dst].set(
+        meta, mode="drop")
+
+    # Pack: (NWp, 8, 6+meta) -> (R, 8, 128) rows of 16 nodes.
+    nw_pad = ((nw + 15) // 16) * 16
+    pad = nw_pad - nw
+    ent_min_w = jnp.concatenate(
+        [ent_min_w, jnp.full((pad, ARITY, 3), big, jnp.float32)])
+    ent_max_w = jnp.concatenate(
+        [ent_max_w, jnp.full((pad, ARITY, 3), big, jnp.float32)])
+    meta_w = jnp.concatenate([meta_w, jnp.zeros((pad, ARITY), jnp.int32)])
+    boxes = jnp.concatenate([ent_min_w, ent_max_w], axis=2)  # (NWp,8,6)
+    meta_f = jax.lax.bitcast_convert_type(
+        meta_w, jnp.float32)[..., None]                      # (NWp,8,1)
+    rec = jnp.concatenate(
+        [boxes, meta_f, jnp.zeros((nw_pad, ARITY, 1), jnp.float32)],
+        axis=2)                                              # (NWp,8,8)
+    r = nw_pad // 16
+    packed = rec.reshape(r, 16, ARITY, 8).transpose(0, 3, 1, 2)
+    packed = packed.reshape(r, 8, 128)
+    return WideAccel(base=accel, wide=WideBVH(records=packed),
+                     levels=-1, num_leaves=nl)  # levels=-1: explicit mode
