@@ -54,9 +54,10 @@ def main() -> None:
     cams = camera_arrays(Camera(position=(0.0, -1.0, -6.0),
                                 rotation=(-0.15, 0.0, 0.0)), cfg)
 
-    from hrt_tpu.ops import lbvh
+    from hrt_tpu.ops import lbvh, wide
 
-    accel = lbvh.build_bvh_sah(scene, leaf_size=16)
+    accel = wide.build_wide_collapsed(
+        lbvh.build_bvh_sah(scene, leaf_size=16))
 
     # Warmup / compile.
     img = render_frame(scene, accel, cams, jnp.uint32(0), cfg)

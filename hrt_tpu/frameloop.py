@@ -83,9 +83,11 @@ class FrameLoop:
         self.visible = jnp.ones(
             (self.scene.inst_bmin.shape[0],), bool)
         # Static scenes get the high-quality native SAH tree; culling
-        # rebuilds use the fast on-device LBVH.
-        self.accel = (lbvh.build_bvh_sah(self.scene, self.leaf_size)
-                      if cfg.traversal != "bruteforce" else None)
+        # rebuilds use the fast on-device LBVH.  Both are wrapped into
+        # the collapsed BVH8 (ops/wide.py) — the fastest traversal path.
+        self.accel = (self._wrap_wide(
+            lbvh.build_bvh_sah(self.scene, self.leaf_size))
+            if cfg.traversal != "bruteforce" else None)
         self.dn_state = denoise.init_state(cfg.height, cfg.width)
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         self.frame = 0
@@ -97,6 +99,12 @@ class FrameLoop:
             self.net, state, _ = upscaler.create()
             if self.upscaler_params is None:
                 self.upscaler_params = state.params
+
+    @staticmethod
+    def _wrap_wide(accel):
+        from .ops import wide
+
+        return wide.build_wide_collapsed(accel)
 
     def reset_history(self):
         cfg = self.config
@@ -115,8 +123,9 @@ class FrameLoop:
             self.visible = new_vis
             mask = culling.triangle_mask(new_vis, self.scene.tri_inst,
                                          self.scene.tri_valid)
-            self.accel = lbvh.build_bvh(self.scene, self.leaf_size,
-                                        tri_mask=mask)
+            self.accel = self._wrap_wide(
+                lbvh.build_bvh(self.scene, self.leaf_size,
+                               tri_mask=mask))
 
     def step(self, camera: Camera) -> np.ndarray:
         """Render the next frame; returns the final (possibly upscaled)

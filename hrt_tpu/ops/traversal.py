@@ -116,19 +116,53 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, find_closest: bool,
     return best_t, best_i, uv[:, 0], uv[:, 1], occ
 
 
+def _unwrap(accel):
+    """Accepts either a plain Accel or a WideAccel wrapper; returns
+    (base Accel, WideAccel-or-None)."""
+    from .wide import WideAccel
+
+    if isinstance(accel, WideAccel):
+        return accel.base, accel
+    return accel, None
+
+
+import os as _os
+
+# The BVH8 kernel is exact in interpret mode but MISCOMPILES under
+# Mosaic on real TPU (returns all-misses; root expansion mask comes
+# back 0) — opt-in until that is root-caused (ROADMAP #1).
+_WIDE_ENABLED = bool(int(_os.environ.get("HRT_WIDE", "0")))
+
+
+def _wide_fits(wide) -> bool:
+    from .traversal_pallas import MAX_VMEM_F32
+
+    if not (_WIDE_ENABLED or jax.default_backend() == "cpu"):
+        return False
+    return (wide.wide.records.size
+            + wide.base.flat.tris.size) <= MAX_VMEM_F32
+
+
 def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
                     use_pallas: bool = False):
     """Closest hit via BVH; returns (t, original_tri_id, u, v) matching
-    the brute-force signature (renderer.trace_closest)."""
+    the brute-force signature (renderer.trace_closest).  Prefers the
+    wide (BVH8) kernel when the accel carries one and it fits VMEM."""
+    base, wide = _unwrap(accel)
     if use_pallas:
         from . import traversal_pallas
 
+        if wide is not None and _wide_fits(wide):
+            from . import traversal_wide
+
+            return traversal_wide.closest_hit(scene, wide, o, d,
+                                              t_min, t_max)
         if traversal_pallas.available():
-            return traversal_pallas.closest_hit(scene, accel, o, d,
+            return traversal_pallas.closest_hit(scene, base, o, d,
                                                 t_min, t_max)
-    tree = accel.tree
+    tree = base.tree
     t, i_sorted, u, v, _ = _traverse(tree, o, d, t_min, t_max, True,
-                                     k=accel.leaf_size)
+                                     k=base.leaf_size)
     tri = jnp.where(i_sorted >= 0,
                     tree.tri_perm[jnp.maximum(i_sorted, 0)], -1)
     return t, tri, u, v
@@ -137,12 +171,18 @@ def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
 def any_hit_bvh(scene, accel, o, d, t_min, t_max,
                 use_pallas: bool = False):
     """Occlusion query via BVH (shadow rays); returns bool (N,)."""
+    base, wide = _unwrap(accel)
     if use_pallas:
         from . import traversal_pallas
 
+        if wide is not None and _wide_fits(wide):
+            from . import traversal_wide
+
+            return traversal_wide.any_hit(scene, wide, o, d, t_min,
+                                          t_max)
         if traversal_pallas.available():
-            return traversal_pallas.any_hit(scene, accel, o, d,
+            return traversal_pallas.any_hit(scene, base, o, d,
                                             t_min, t_max)
-    _, _, _, _, occ = _traverse(accel.tree, o, d, t_min, t_max, False,
-                                k=accel.leaf_size)
+    _, _, _, _, occ = _traverse(base.tree, o, d, t_min, t_max, False,
+                                k=base.leaf_size)
     return occ

@@ -34,7 +34,7 @@ def _ctz(x):
 
 
 def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
-                 t_min: float, find_closest: bool):
+                 t_min: float, find_closest: bool, max_node: int = 0):
     """levels >= 1: implicit equal-count tree; levels == -1: explicit
     collapsed tree (child ids/leaf codes bitcast in record sublane 6,
     see wide.build_wide_collapsed)."""
@@ -63,6 +63,7 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
         def expand(g, best_t):
             """Slab-test the 8 children of internal node g; returns the
             hit bitmask as a scalar."""
+            g = jnp.clip(g, 0, max_node)
             row = g // 16
             base = (g % 16) * ARITY
             rec = recs_ref[pl.ds(row, 1)]            # (1, 8, 128)
@@ -124,6 +125,7 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
 
         def _child_meta(g, c):
             """Explicit mode: child c's metadata from node g's record."""
+            g = jnp.clip(g, 0, max_node)
             row = g // 16
             base = (g % 16) * ARITY
             rec = recs_ref[pl.ds(row, 1)]
@@ -144,7 +146,9 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
             if explicit:
                 meta = _child_meta(top, c)
                 child_is_leaf = meta < 0
-                leaf_idx = -meta - 1
+                # Clamp: cond branches may be lowered predicated, so the
+                # untaken branch's indices must still be in-bounds.
+                leaf_idx = jnp.clip(-meta - 1, 0, num_leaves - 1)
                 child_node = meta       # wide id when internal
                 push_encoding = child_node
             else:
@@ -152,7 +156,7 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
                 idx = top >> 4
                 cidx = idx * ARITY + c
                 child_is_leaf = level + 1 == levels
-                leaf_idx = cidx
+                leaf_idx = jnp.clip(cidx, 0, num_leaves - 1)
                 off = jnp.int32(0)
                 for l in range(1, levels):
                     off = jnp.where(level + 1 == l,
@@ -207,7 +211,8 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
         "wide kernel does not support HRT_WALKS > 1"
     n_tiles = rows // TILE_ROWS
     kernel, stack_depth = _make_kernel(levels, num_leaves, leaf_size,
-                                       t_min, find_closest)
+                                       t_min, find_closest,
+                                       max_node=records.shape[0] * 16 - 1)
     tris_in_vmem = (records.size + flat_tris.size) <= 3_000_000
 
     ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),

@@ -20,14 +20,18 @@ Build is a handful of reshape-reductions — fast enough to rebuild per
 frame, and it consumes the existing Accel (same leaf-ordered triangle
 pool, so the leaf kernel path is shared).
 
-STATUS: experimental.  Correct (oracle-checked) and at parity with the
-binary kernel on small scenes, but the equal-COUNT implicit splits do
-not align with Morton bit boundaries, so on large scenes upper-level
-child boxes overlap badly and traversal degenerates (measured 25x
-slower at 97k tris).  The fix is a Karras-aligned collapse of the
-binary tree into explicit 8-wide nodes (child ids fit the spare record
-lanes) — ROADMAP item 1; the masked-stack kernel in traversal_wide.py
-carries over unchanged.
+STATUS: experimental, OFF by default on TPU (HRT_WIDE=1 to enable).
+Two builders exist: the implicit equal-count tree (poor box quality on
+big scenes — splits don't align with Morton bit boundaries) and the
+Karras-aligned collapse below (build_wide_collapsed, good trees).
+Both are exact under interpret mode and cross-checked against the
+oracle, but the masked-stack kernel MISCOMPILES under Mosaic on real
+v5e: the root expansion bitmask comes back 0 and every ray misses
+(discovered because the "4.2x speedup" run was returning all-misses
+fast — always validate outputs alongside timings).  Root-causing the
+Mosaic issue (likely SMEM read-after-write ordering in the while body,
+or the predicated lax.cond interplay — clamps already added for the
+predicated-branch OOB it exposed) is ROADMAP item 1.
 """
 from __future__ import annotations
 
