@@ -25,6 +25,12 @@ from .traversal_pallas import (BLOCK_ROWS, LEAF_UNROLL, TILE_LANES,
 from .wide import ARITY, WideAccel, level_offset
 
 MAX_LEVELS = 9  # 8^9 leaves = plenty
+# Mosaic-debug variant: replace lax.cond with unconditional+select.
+import os as _os
+
+NO_COND = bool(int(_os.environ.get("HRT_WIDE_NOCOND", "0")))
+# Diagnostic: return (root_mask, iterations) in the u/v outputs.
+DIAG = bool(int(_os.environ.get("HRT_WIDE_DIAG", "0")))
 
 
 def _ctz(x):
@@ -45,8 +51,8 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
                else [level_offset(l) for l in range(levels + 1)])
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-               recs_ref, tris_ref, t_ref, tri_ref, u_ref, v_ref,
-               snode, smask, *dma_scratch):
+               recs_ref, metas_ref, tris_ref, t_ref, tri_ref, u_ref,
+               v_ref, snode, smask, *dma_scratch):
         tiny = jnp.float32(1e-20)
         tmin = jnp.float32(t_min)
 
@@ -124,13 +130,15 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
             return alive
 
         def _child_meta(g, c):
-            """Explicit mode: child c's metadata from node g's record."""
+            """Explicit mode: child c's metadata from node g's meta row
+            (a dedicated i32 array — f32 bit-carrying gets denormal
+            bit patterns flushed by TPU XLA)."""
             g = jnp.clip(g, 0, max_node)
             row = g // 16
             base = (g % 16) * ARITY
-            rec = recs_ref[pl.ds(row, 1)]
-            metas = pltpu.bitcast(rec[:, 6, :], jnp.int32)  # (1, 128)
-            idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_LANES), 1)
+            metas = metas_ref[pl.ds(row, 1)]          # (1, 1, 128) i32
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE_LANES),
+                                           2)
             return jnp.sum(jnp.where(idx == base + c, metas, 0))
 
         def body(state):
@@ -164,13 +172,6 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
                 child_node = off + cidx
                 push_encoding = (cidx << 4) | (level + 1)
 
-            def leaf_branch(args):
-                return do_leaf(leaf_idx, args)
-
-            best_t, best_i, bu, bv = jax.lax.cond(
-                child_is_leaf, leaf_branch, lambda a: a,
-                (best_t, best_i, bu, bv))
-
             if explicit:
                 # Guard: only expand genuine internal children (meta > 0
                 # — an empty slot's bit can never be set, but belt and
@@ -178,11 +179,33 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
                 do_expand = jnp.logical_not(child_is_leaf) & (meta > 0)
             else:
                 do_expand = jnp.logical_not(child_is_leaf)
-            cmask = jax.lax.cond(
-                do_expand,
-                lambda _: expand(jnp.maximum(child_node, 0), best_t),
-                lambda _: jnp.int32(0),
-                jnp.int32(0))
+
+            if NO_COND:
+                # Unconditional compute + select (Mosaic-debug variant).
+                lt, li, lu, lv = do_leaf(leaf_idx,
+                                         (best_t, best_i, bu, bv))
+                keep = child_is_leaf
+                best_t = jnp.where(keep, lt, best_t)
+                best_i = jnp.where(keep, li, best_i)
+                bu = jnp.where(keep, lu, bu)
+                bv = jnp.where(keep, lv, bv)
+                cmask = jnp.where(
+                    do_expand,
+                    expand(jnp.maximum(child_node, 0), best_t),
+                    jnp.int32(0))
+            else:
+                def leaf_branch(args):
+                    return do_leaf(leaf_idx, args)
+
+                best_t, best_i, bu, bv = jax.lax.cond(
+                    child_is_leaf, leaf_branch, lambda a: a,
+                    (best_t, best_i, bu, bv))
+
+                cmask = jax.lax.cond(
+                    do_expand,
+                    lambda _: expand(jnp.maximum(child_node, 0), best_t),
+                    lambda _: jnp.int32(0),
+                    jnp.int32(0))
 
             push = cmask != 0
             snode[slot] = jnp.where(push, push_encoding, snode[slot])
@@ -191,7 +214,27 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
             return sp, best_t, best_i, bu, bv
 
         state = (sp0, best_t0, best_i0, zer, zer)
-        _, best_t, best_i, bu, bv = jax.lax.while_loop(cond, body, state)
+        if DIAG:
+            # Bound iterations + count them.
+            def cond_d(st):
+                return cond(st[:5]) & (st[5] < 100000)
+
+            def body_d(st):
+                out = body(st[:5])
+                return out + (st[5] + 1,)
+
+            *out, iters = jax.lax.while_loop(
+                cond_d, body_d, state + (jnp.int32(0),))
+            _, best_t, best_i, bu, bv = out
+            diag0 = (_child_meta(jnp.int32(0), jnp.int32(0))
+                     if explicit else root_mask)
+            bu = jnp.full((rows, TILE_LANES), 1.0) * diag0.astype(
+                jnp.float32)
+            bv = jnp.full((rows, TILE_LANES), 1.0) * iters.astype(
+                jnp.float32)
+        else:
+            _, best_t, best_i, bu, bv = jax.lax.while_loop(
+                cond, body, state)
         t_ref[:] = best_t
         tri_ref[:] = best_i
         u_ref[:] = bu
@@ -203,8 +246,8 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
 @functools.partial(jax.jit,
                    static_argnames=("levels", "num_leaves", "leaf_size",
                                     "t_min", "find_closest"))
-def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
-                 levels: int, num_leaves: int, leaf_size: int,
+def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, records, metas,
+                 flat_tris, levels: int, num_leaves: int, leaf_size: int,
                  t_min: float, find_closest: bool):
     rows = ox.shape[0]
     assert TILE_ROWS == BLOCK_ROWS, \
@@ -236,12 +279,12 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[ray_spec] * 7 + [vmem_spec, tri_spec],
+        in_specs=[ray_spec] * 7 + [vmem_spec, vmem_spec, tri_spec],
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=(jax.default_backend() == "cpu"),
-    )(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris)
+    )(ox, oy, oz, dx, dy, dz, tmax, records, metas, flat_tris)
 
 
 def _run(waccel: WideAccel, o, d, t_min, t_max, find_closest: bool):
@@ -254,7 +297,8 @@ def _run(waccel: WideAccel, o, d, t_min, t_max, find_closest: bool):
              _to_tiles(d[:, 1], n_pad), _to_tiles(d[:, 2], n_pad),
              _to_tiles(tmax, n_pad, fill=-1.0)]
     t, tri, u, v = _trace_tiles(
-        *comps, waccel.wide.records, waccel.base.flat.tris,
+        *comps, waccel.wide.records, waccel.wide.meta,
+        waccel.base.flat.tris,
         levels=waccel.levels, num_leaves=waccel.num_leaves,
         leaf_size=waccel.base.leaf_size, t_min=float(t_min),
         find_closest=find_closest)

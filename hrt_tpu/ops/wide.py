@@ -48,9 +48,14 @@ ARITY = 8
 
 class WideBVH(NamedTuple):
     """records: (R, 8, 128) f32 — packed children boxes of all internal
-    nodes, breadth-first (level offsets implicit: (8^l - 1) / 7)."""
+    nodes, breadth-first (level offsets implicit: (8^l - 1) / 7).
+    meta: (R, 1, 128) i32 — per-child metadata for the explicit
+    (collapsed) tree, in its OWN integer array: carrying i32 bit
+    patterns inside f32 lanes gets them denormal-flushed to zero by
+    TPU XLA (discovered the hard way); zeros for the implicit tree."""
 
     records: jnp.ndarray
+    meta: jnp.ndarray
 
 
 @flax_struct.dataclass
@@ -128,7 +133,8 @@ def build_wide(accel: Accel) -> WideAccel:
     packed = packed.reshape(r, 6, 128)
     packed = jnp.concatenate(
         [packed, jnp.zeros((r, 2, 128), jnp.float32)], axis=1)
-    return WideAccel(base=accel, wide=WideBVH(records=packed),
+    meta = jnp.zeros((r, 1, 128), jnp.int32)
+    return WideAccel(base=accel, wide=WideBVH(records=packed, meta=meta),
                      levels=levels, num_leaves=nl)
 
 
@@ -230,14 +236,12 @@ def build_wide_collapsed(accel: Accel) -> WideAccel:
     ent_max_w = jnp.concatenate(
         [ent_max_w, jnp.full((pad, ARITY, 3), big, jnp.float32)])
     meta_w = jnp.concatenate([meta_w, jnp.zeros((pad, ARITY), jnp.int32)])
-    boxes = jnp.concatenate([ent_min_w, ent_max_w], axis=2)  # (NWp,8,6)
-    meta_f = jax.lax.bitcast_convert_type(
-        meta_w, jnp.float32)[..., None]                      # (NWp,8,1)
-    rec = jnp.concatenate(
-        [boxes, meta_f, jnp.zeros((nw_pad, ARITY, 1), jnp.float32)],
-        axis=2)                                              # (NWp,8,8)
+    boxes = jnp.concatenate(
+        [ent_min_w, ent_max_w,
+         jnp.zeros((nw_pad, ARITY, 2), jnp.float32)], axis=2)  # (NWp,8,8)
     r = nw_pad // 16
-    packed = rec.reshape(r, 16, ARITY, 8).transpose(0, 3, 1, 2)
+    packed = boxes.reshape(r, 16, ARITY, 8).transpose(0, 3, 1, 2)
     packed = packed.reshape(r, 8, 128)
-    return WideAccel(base=accel, wide=WideBVH(records=packed),
+    meta = meta_w.reshape(r, 1, 128)  # lane = (g%16)*8 + child
+    return WideAccel(base=accel, wide=WideBVH(records=packed, meta=meta),
                      levels=-1, num_leaves=nl)  # levels=-1: explicit mode
