@@ -68,19 +68,35 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
 
         def expand(g, best_t):
             """Slab-test the 8 children of internal node g; returns the
-            hit bitmask as a scalar."""
+            hit bitmask as a scalar.
+
+            The 8 per-child any() reductions are fused into ONE
+            log-tree OR fold over a per-lane bitmask plane (rolls are
+            cheap vector ops; 8 scalar reductions were the dominant
+            per-expansion cost)."""
             g = jnp.clip(g, 0, max_node)
             row = g // 16
             base = (g % 16) * ARITY
             rec = recs_ref[pl.ds(row, 1)]            # (1, 8, 128)
-            mask = jnp.int32(0)
+            plane = jnp.zeros((rows, TILE_LANES), jnp.int32)
             for j in range(ARITY):
                 r = _record_extract(rec, base + j)   # (1, 8, 1)
                 box = [r[:, c, :] for c in range(6)]
                 hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz,
                                  tmin, best_t)
-                mask = mask | (jnp.any(hit).astype(jnp.int32) << j)
-            return mask
+                plane = plane | (hit.astype(jnp.int32) << j)
+            v = plane
+            s = TILE_LANES // 2
+            while s >= 1:
+                v = v | pltpu.roll(v, s, axis=1)
+                s //= 2
+            s = rows // 2
+            while s >= 1:
+                v = v | pltpu.roll(v, s, axis=0)
+                s //= 2
+            ii = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            return jnp.sum(jnp.where((ii == 0) & (jj == 0), v, 0))
 
         def do_leaf(leaf_idx, args):
             best_t, best_i, bu, bv = args
