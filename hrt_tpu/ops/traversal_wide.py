@@ -40,11 +40,13 @@ def _ctz(x):
 
 
 def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
-                 t_min: float, find_closest: bool, max_node: int = 0):
+                 t_min: float, find_closest: bool, max_node: int = 0,
+                 arity: int = ARITY):
     """levels >= 1: implicit equal-count tree; levels == -1: explicit
     collapsed tree (child ids/leaf codes bitcast in record sublane 6,
     see wide.build_wide_collapsed)."""
     rows = TILE_ROWS
+    npr = 128 // arity  # nodes per record row
     explicit = levels < 0
     stack_depth = 26 if explicit else levels + 2
     offsets = ([] if explicit
@@ -75,11 +77,11 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
             cheap vector ops; 8 scalar reductions were the dominant
             per-expansion cost)."""
             g = jnp.clip(g, 0, max_node)
-            row = g // 16
-            base = (g % 16) * ARITY
+            row = g // npr
+            base = (g % npr) * arity
             rec = recs_ref[pl.ds(row, 1)]            # (1, 8, 128)
             plane = jnp.zeros((rows, TILE_LANES), jnp.int32)
-            for j in range(ARITY):
+            for j in range(arity):
                 r = _record_extract(rec, base + j)   # (1, 8, 1)
                 box = [r[:, c, :] for c in range(6)]
                 hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz,
@@ -150,8 +152,8 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
             (a dedicated i32 array — f32 bit-carrying gets denormal
             bit patterns flushed by TPU XLA)."""
             g = jnp.clip(g, 0, max_node)
-            row = g // 16
-            base = (g % 16) * ARITY
+            row = g // npr
+            base = (g % npr) * arity
             metas = metas_ref[pl.ds(row, 1)]          # (1, 1, 128) i32
             idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE_LANES),
                                            2)
@@ -261,17 +263,17 @@ def _make_kernel(levels: int, num_leaves: int, leaf_size: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("levels", "num_leaves", "leaf_size",
-                                    "t_min", "find_closest"))
+                                    "t_min", "find_closest", "arity"))
 def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, records, metas,
                  flat_tris, levels: int, num_leaves: int, leaf_size: int,
-                 t_min: float, find_closest: bool):
+                 t_min: float, find_closest: bool, arity: int = 8):
     rows = ox.shape[0]
     assert TILE_ROWS == BLOCK_ROWS, \
         "wide kernel does not support HRT_WALKS > 1"
     n_tiles = rows // TILE_ROWS
-    kernel, stack_depth = _make_kernel(levels, num_leaves, leaf_size,
-                                       t_min, find_closest,
-                                       max_node=records.shape[0] * 16 - 1)
+    kernel, stack_depth = _make_kernel(
+        levels, num_leaves, leaf_size, t_min, find_closest,
+        max_node=records.shape[0] * (128 // arity) - 1, arity=arity)
     tris_in_vmem = (records.size + flat_tris.size) <= 3_000_000
 
     ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
@@ -317,7 +319,7 @@ def _run(waccel: WideAccel, o, d, t_min, t_max, find_closest: bool):
         waccel.base.flat.tris,
         levels=waccel.levels, num_leaves=waccel.num_leaves,
         leaf_size=waccel.base.leaf_size, t_min=float(t_min),
-        find_closest=find_closest)
+        find_closest=find_closest, arity=waccel.arity)
     out = lambda a: a.reshape(-1)[:n]
     return out(t), out(tri), out(u), out(v)
 

@@ -64,6 +64,7 @@ class WideAccel:
     wide: WideBVH
     levels: int = flax_struct.field(pytree_node=False, default=2)
     num_leaves: int = flax_struct.field(pytree_node=False, default=0)
+    arity: int = flax_struct.field(pytree_node=False, default=8)
 
 
 def _leaf_boxes(accel: Accel):
@@ -154,9 +155,10 @@ def level_offset(lvl: int) -> int:
 #   meta == 0 -> empty slot
 # ---------------------------------------------------------------------------
 
-def _cut3(child_l, child_r):
-    """For every binary internal node: its depth-3 cut (8 entries of
-    binary-node encoding: >=0 internal id, <0 leaf, EMPTY sentinel)."""
+def _cut(child_l, child_r, depth: int):
+    """For every binary internal node: its depth-`depth` cut (2^depth
+    entries of binary-node encoding: >=0 internal id, <0 leaf, EMPTY
+    sentinel)."""
     ni = child_l.shape[0]
     EMPTY = jnp.int32(-(2 ** 30))
 
@@ -169,17 +171,22 @@ def _cut3(child_l, child_r):
         return jnp.stack([left, right], axis=-1).reshape(
             entries.shape[0], -1)
 
-    lvl1 = jnp.stack([child_l, child_r], axis=1)       # (Ni, 2)
-    lvl2 = expand(lvl1)                                 # (Ni, 4)
-    lvl3 = expand(lvl2)                                 # (Ni, 8)
-    return lvl3, EMPTY
+    cut = jnp.stack([child_l, child_r], axis=1)        # (Ni, 2)
+    for _ in range(depth - 1):
+        cut = expand(cut)
+    return cut, EMPTY
 
 
-def build_wide_collapsed(accel: Accel) -> WideAccel:
-    """Collapse the binary Karras/SAH tree into explicit 8-wide nodes."""
+def build_wide_collapsed(accel: Accel, arity: int = 8) -> WideAccel:
+    """Collapse the binary Karras/SAH tree into explicit wide nodes
+    (arity 8, 16, or 32 — a power of two dividing 128)."""
+    import math
+
+    depth = int(math.log2(arity))
+    assert 2 ** depth == arity and 128 % arity == 0
     tree = accel.tree
     ni = tree.child_l.shape[0]
-    cuts, EMPTY = _cut3(tree.child_l, tree.child_r)     # (Ni, 8)
+    cuts, EMPTY = _cut(tree.child_l, tree.child_r, depth)  # (Ni, A)
 
     # Which binary nodes become wide nodes: root + every internal cut
     # entry of a wide node (fixed point within depth/3 sweeps).
@@ -221,27 +228,30 @@ def build_wide_collapsed(accel: Accel) -> WideAccel:
     # Compact flagged nodes into wide order (scatter by wid).
     nw = ni  # static upper bound; unflagged rows stay empty
     dst = jnp.where(flags, wid, nw)
-    ent_min_w = jnp.full((nw, ARITY, 3), big, jnp.float32).at[dst].set(
+    ent_min_w = jnp.full((nw, arity, 3), big, jnp.float32).at[dst].set(
         ent_min, mode="drop")
-    ent_max_w = jnp.full((nw, ARITY, 3), big, jnp.float32).at[dst].set(
+    ent_max_w = jnp.full((nw, arity, 3), big, jnp.float32).at[dst].set(
         ent_max, mode="drop")
-    meta_w = jnp.zeros((nw, ARITY), jnp.int32).at[dst].set(
+    meta_w = jnp.zeros((nw, arity), jnp.int32).at[dst].set(
         meta, mode="drop")
 
-    # Pack: (NWp, 8, 6+meta) -> (R, 8, 128) rows of 16 nodes.
-    nw_pad = ((nw + 15) // 16) * 16
+    # Pack: nodes-per-row = 128 // arity; comp c in sublane c, child j
+    # at lane (g % npr) * arity + j.
+    npr = 128 // arity
+    nw_pad = ((nw + npr - 1) // npr) * npr
     pad = nw_pad - nw
     ent_min_w = jnp.concatenate(
-        [ent_min_w, jnp.full((pad, ARITY, 3), big, jnp.float32)])
+        [ent_min_w, jnp.full((pad, arity, 3), big, jnp.float32)])
     ent_max_w = jnp.concatenate(
-        [ent_max_w, jnp.full((pad, ARITY, 3), big, jnp.float32)])
-    meta_w = jnp.concatenate([meta_w, jnp.zeros((pad, ARITY), jnp.int32)])
+        [ent_max_w, jnp.full((pad, arity, 3), big, jnp.float32)])
+    meta_w = jnp.concatenate([meta_w, jnp.zeros((pad, arity), jnp.int32)])
     boxes = jnp.concatenate(
         [ent_min_w, ent_max_w,
-         jnp.zeros((nw_pad, ARITY, 2), jnp.float32)], axis=2)  # (NWp,8,8)
-    r = nw_pad // 16
-    packed = boxes.reshape(r, 16, ARITY, 8).transpose(0, 3, 1, 2)
+         jnp.zeros((nw_pad, arity, 2), jnp.float32)], axis=2)
+    r = nw_pad // npr
+    packed = boxes.reshape(r, npr, arity, 8).transpose(0, 3, 1, 2)
     packed = packed.reshape(r, 8, 128)
-    meta = meta_w.reshape(r, 1, 128)  # lane = (g%16)*8 + child
+    meta = meta_w.reshape(r, 1, 128)
     return WideAccel(base=accel, wide=WideBVH(records=packed, meta=meta),
-                     levels=-1, num_leaves=nl)  # levels=-1: explicit mode
+                     levels=-1, num_leaves=nl,
+                     arity=arity)  # levels=-1: explicit mode
