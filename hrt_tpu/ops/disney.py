@@ -144,12 +144,15 @@ def eval_specular(mat, local_h, local_v, local_l):
     return (d * g)[..., None] * f
 
 
-def brdf(mat, n, v, l):
+def brdf(mat, n, v, l, frame=None):
     """Full Disney BRDF (ref: disney.slang:95-116).
 
     mat: (..., MAT_W) gathered material rows; n/v/l: (..., 3) with v
     pointing away from the surface toward the viewer.  Returns (..., 3);
     zero where NdotL or NdotV <= 0 (reference's early-out).
+    `frame`: optional precomputed orthonormal_basis(n) — hoisting it
+    saves rebuilding the identical basis for H, V and L (and across
+    lights in NEE); results are bitwise identical.
     """
     ndotl = dot(n, l)
     ndotv = dot(n, v)
@@ -157,9 +160,13 @@ def brdf(mat, n, v, l):
     ndoth = dot(n, h)
     hdotl = dot(h, l)
 
-    local_h = to_local(h, n)
-    local_v = to_local(v, n)
-    local_l = to_local(l, n)
+    if frame is None:
+        from .math3d import orthonormal_basis
+
+        frame = orthonormal_basis(n)
+    local_h = to_local(h, n, frame)
+    local_v = to_local(v, n, frame)
+    local_l = to_local(l, n, frame)
 
     sheen = eval_sheen(mat, hdotl)
     clearcoat = eval_clearcoat(mat, ndoth, ndotl, ndotv, hdotl)[..., None]

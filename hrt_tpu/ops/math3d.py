@@ -75,9 +75,15 @@ def orthonormal_basis(normal: jnp.ndarray):
     return jnp.where(deg, t_deg, tangent), jnp.where(deg, b_deg, bitangent)
 
 
-def to_local(vec: jnp.ndarray, normal: jnp.ndarray) -> jnp.ndarray:
-    """World -> tangent frame where +z == normal (ref: shadermath.slang:18-23)."""
-    tangent, bitangent = orthonormal_basis(normal)
+def to_local(vec: jnp.ndarray, normal: jnp.ndarray,
+             frame=None) -> jnp.ndarray:
+    """World -> tangent frame where +z == normal (ref: shadermath.slang:18-23).
+
+    `frame`: optional precomputed (tangent, bitangent) — the basis is
+    a pure function of the normal, so callers evaluating several
+    vectors in the same frame should build it once."""
+    tangent, bitangent = frame if frame is not None \
+        else orthonormal_basis(normal)
     return jnp.stack(
         [dot(vec, tangent), dot(vec, bitangent), dot(vec, normal)], axis=-1
     )

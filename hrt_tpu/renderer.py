@@ -136,14 +136,14 @@ def interpolate_hit(scene: SceneData, tri_idx, u, v):
     return normalize(normal), uv, mat_id
 
 
-def eval_brdf(config: RenderConfig, mat, n, v, l):
+def eval_brdf(config: RenderConfig, mat, n, v, l, frame=None):
     """Material-model dispatch: Disney (default, parity) or the glTF
     metallic-roughness alternative (ref: shaders/pbr.slang)."""
     if config.brdf == "pbr":
         from .ops import pbr
 
         return pbr.bsdf_evaluate_simple(mat, n, v, l)
-    return brdf(mat, n, v, l)
+    return brdf(mat, n, v, l, frame=frame)
 
 
 def _direct_sampled(scene: SceneData, accel, mat_rows, n, view,
@@ -208,8 +208,13 @@ def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
 
     ldir, lcol, lint, unbounded = process_light(scene.lights, world_pos)
     l = normalize(ldir)                               # (N, L, 3)
+    # One shading frame per ray, shared across all lights.
+    from .ops.math3d import orthonormal_basis
+
+    t_f, b_f = orthonormal_basis(n)
+    frame = (t_f[:, None, :], b_f[:, None, :])
     f = eval_brdf(config, mat_rows[:, None, :], n[:, None, :],
-                  view[:, None, :], l)
+                  view[:, None, :], l, frame=frame)
 
     # A shadow ray only matters when the BRDF can be nonzero and the
     # light passes the intensity threshold (raytracing.slang:78-79).
