@@ -123,16 +123,26 @@ def trace_any(scene: SceneData, accel, o, d, t_min, t_max,
 
 def interpolate_hit(scene: SceneData, tri_idx, u, v):
     """Gather + barycentric-interpolate hit attributes
-    (ref: shaders/objects.slang:35-54)."""
+    (ref: shaders/objects.slang:35-54).
+
+    All per-triangle attributes are packed into one (T, 16) table so
+    the hot path issues a SINGLE gather per hit instead of seven
+    (normals x3, uvs x3, material id); the pack itself is a cheap
+    O(T) concat that XLA amortizes."""
+    attr = jnp.concatenate(
+        [scene.nrm0, scene.nrm1, scene.nrm2,
+         scene.uv0, scene.uv1, scene.uv2,
+         scene.tri_mat[:, None].astype(jnp.float32)], axis=1)  # (T, 16)
     safe = jnp.maximum(tri_idx, 0)
+    rows = attr[safe]                                           # (N, 16)
     w = 1.0 - u - v
     wu = u[..., None]
     wv = v[..., None]
     ww = w[..., None]
-    normal = (ww * scene.nrm0[safe] + wu * scene.nrm1[safe]
-              + wv * scene.nrm2[safe])
-    uv = ww * scene.uv0[safe] + wu * scene.uv1[safe] + wv * scene.uv2[safe]
-    mat_id = scene.tri_mat[safe]
+    normal = (ww * rows[:, 0:3] + wu * rows[:, 3:6]
+              + wv * rows[:, 6:9])
+    uv = ww * rows[:, 9:11] + wu * rows[:, 11:13] + wv * rows[:, 13:15]
+    mat_id = rows[:, 15].astype(jnp.int32)
     return normalize(normal), uv, mat_id
 
 
