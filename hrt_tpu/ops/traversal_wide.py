@@ -1,10 +1,13 @@
-"""Masked stack walk over the implicit 8-ary BVH (ops/wide.py).
+"""Masked stack walk over wide BVHs (ops/wide.py) — implicit
+equal-count trees or explicit Karras-collapsed trees, arity 8/16/32.
 
-Attacks the binary skip-walk's measured bottleneck (per-visit fixed
-cost): each EXPANSION slab-tests all 8 children of a node against the
-whole ray tile and records a hit bitmask; the walk then descends
-mask-bit by mask-bit with a tiny SMEM stack of (node, mask) entries.
-Inner iterations drop ~4x vs the binary walk at ~2x vector work each.
+Each EXPANSION slab-tests all children of a node against the whole ray
+tile and records a hit bitmask; the walk then descends mask-bit by
+mask-bit with a tiny SMEM stack of (node, mask) entries.  Exact on TPU
+(see wide.py STATUS for the two platform bugs diagnosed getting here);
+currently at performance parity with the binary skip-walk — both are
+bound by per-iteration serial dependency-chain latency (ROADMAP #1).
+Opt-in on TPU via HRT_WIDE=1; default on CPU tests.
 
 Shares the leaf machinery (and the leaf-ordered triangle pool) with
 ops/traversal_pallas.
