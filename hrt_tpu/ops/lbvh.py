@@ -80,11 +80,39 @@ class Accel:
     """Both traversal representations: `tree` for the jnp stack machine,
     `flat` for the Pallas packet kernel.  `leaf_size` is static (it
     drives kernel loop bounds); it cannot be derived from shapes when
-    the leaf arrays are padded (SAH builder path)."""
+    the leaf arrays are padded (SAH builder path).
+
+    `attr` is the pre-sorted hit-attribute table (T_sorted, 16+MAT_W):
+    shading gathers it directly by the kernel's sorted triangle id —
+    no per-ray remap through tri_perm (measured: the remap gather alone
+    was 14% of device frame time) and no separate material-row gather.
+    Columns: nrm0|nrm1|nrm2 (9), uv0|uv1|uv2 (6), mat_id (1),
+    then the full material row (models/materials.MAT_W)."""
 
     tree: BVH
     flat: FlatBVH
     leaf_size: int = flax_struct.field(pytree_node=False, default=8)
+    attr: jnp.ndarray | None = None
+
+
+# Column where the material row starts inside Accel.attr.
+ATTR_MAT = 16
+
+
+def hit_attr_table(scene: SceneData, tri_perm: jnp.ndarray) -> jnp.ndarray:
+    """Build the sorted hit-attribute table (see Accel.attr).
+
+    One O(T) gather at build time replaces three per-ray gathers per
+    bounce (tri_perm remap, attribute rows, material rows) — the
+    shading-side analogue of the reference's bindless tables
+    (ref: shaders/objects.slang:35-58) flattened into a single row."""
+    base = jnp.concatenate(
+        [scene.nrm0, scene.nrm1, scene.nrm2,
+         scene.uv0, scene.uv1, scene.uv2,
+         scene.tri_mat[:, None].astype(jnp.float32)], axis=1)  # (T, 16)
+    rows = base[tri_perm]
+    mat = scene.materials[scene.tri_mat[tri_perm]]
+    return jnp.concatenate([rows, mat], axis=1)
 
 
 def _clz32(x: jnp.ndarray) -> jnp.ndarray:
@@ -350,7 +378,8 @@ def build_bvh(scene: SceneData, leaf_size: int = 8,
         tri_perm=order.astype(I32),
     )
     return Accel(tree=tree, flat=flatten_bvh(tree, lmin, lmax, leaf_size),
-                 leaf_size=leaf_size)
+                 leaf_size=leaf_size,
+                 attr=hit_attr_table(scene, order.astype(I32)))
 
 
 def build_bvh_sah(scene: SceneData, leaf_size: int = 16,
@@ -403,4 +432,5 @@ def build_bvh_sah(scene: SceneData, leaf_size: int = 16,
     )
     flat = flatten_bvh(tree, jnp.asarray(lmin), jnp.asarray(lmax),
                        leaf_size)
-    return Accel(tree=tree, flat=flat, leaf_size=leaf_size)
+    return Accel(tree=tree, flat=flat, leaf_size=leaf_size,
+                 attr=hit_attr_table(scene, jnp.asarray(tri_perm)))

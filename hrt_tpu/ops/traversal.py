@@ -144,10 +144,13 @@ def _wide_fits(wide) -> bool:
 
 
 def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
-                    use_pallas: bool = False):
-    """Closest hit via BVH; returns (t, original_tri_id, u, v) matching
-    the brute-force signature (renderer.trace_closest).  Prefers the
-    wide (BVH8) kernel when the accel carries one and it fits VMEM."""
+                    use_pallas: bool = False, sorted_ids: bool = False):
+    """Closest hit via BVH; returns (t, tri_id, u, v) matching the
+    brute-force signature (renderer.trace_closest).  Prefers the wide
+    (BVH8) kernel when the accel carries one and it fits VMEM.
+
+    sorted_ids=True returns ids in the BVH leaf-pool order (for
+    Accel.attr shading) instead of original triangle ids."""
     base, wide = _unwrap(accel)
     if use_pallas:
         from . import traversal_pallas
@@ -156,13 +159,17 @@ def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
             from . import traversal_wide
 
             return traversal_wide.closest_hit(scene, wide, o, d,
-                                              t_min, t_max)
+                                              t_min, t_max,
+                                              sorted_ids=sorted_ids)
         if traversal_pallas.available():
             return traversal_pallas.closest_hit(scene, base, o, d,
-                                                t_min, t_max)
+                                                t_min, t_max,
+                                                sorted_ids=sorted_ids)
     tree = base.tree
     t, i_sorted, u, v, _ = _traverse(tree, o, d, t_min, t_max, True,
                                      k=base.leaf_size)
+    if sorted_ids:
+        return t, i_sorted, u, v
     tri = jnp.where(i_sorted >= 0,
                     tree.tri_perm[jnp.maximum(i_sorted, 0)], -1)
     return t, tri, u, v

@@ -284,6 +284,14 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             best_t, best_i, bu, bv = jax.lax.cond(
                 take_leaf, do_leaf, lambda a: a,
                 (best_t, best_i, bu, bv))
+            if not find_closest:
+                # Shadow mode: retire occluded lanes (t_limit = -1 fails
+                # every slab test), so the packet stops descending into
+                # nodes only already-occluded lanes would enter — the
+                # per-lane ACCEPT_FIRST_HIT_AND_END_SEARCH analogue
+                # (ref: raytracing.slang:67).
+                best_t = jnp.where(best_i >= 0, jnp.float32(-1.0),
+                                   best_t)
 
             descend = any_hit & jnp.logical_not(is_leaf)
             nxt = jnp.where(descend, cur + 1, skip)
@@ -389,14 +397,20 @@ def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
     return flat_out(t), flat_out(tri), flat_out(u), flat_out(v)
 
 
-def closest_hit(scene, accel, o, d, t_min, t_max):
-    """(t, original_tri_id, u, v) — signature of renderer.trace_closest."""
+def closest_hit(scene, accel, o, d, t_min, t_max, sorted_ids: bool = False):
+    """(t, tri_id, u, v) — signature of renderer.trace_closest.
+
+    sorted_ids=True returns leaf-pool (BVH-sorted) triangle ids and
+    skips the tri_perm remap gather — pair with Accel.attr shading."""
     if not _vmem_ok(accel.flat):
         from . import traversal
 
         return traversal.closest_hit_bvh(scene, accel, o, d, t_min, t_max,
-                                         use_pallas=False)
+                                         use_pallas=False,
+                                         sorted_ids=sorted_ids)
     t, tri_sorted, u, v = _run(scene, accel, o, d, t_min, t_max, True)
+    if sorted_ids:
+        return t, tri_sorted, u, v
     tri = jnp.where(tri_sorted >= 0,
                     accel.tree.tri_perm[jnp.maximum(tri_sorted, 0)], -1)
     return t, tri, u, v

@@ -327,8 +327,11 @@ def _run(waccel: WideAccel, o, d, t_min, t_max, find_closest: bool):
     return out(t), out(tri), out(u), out(v)
 
 
-def closest_hit(scene, waccel: WideAccel, o, d, t_min, t_max):
+def closest_hit(scene, waccel: WideAccel, o, d, t_min, t_max,
+                sorted_ids: bool = False):
     t, tri_sorted, u, v = _run(waccel, o, d, t_min, t_max, True)
+    if sorted_ids:
+        return t, tri_sorted, u, v
     tri = jnp.where(tri_sorted >= 0,
                     waccel.base.tree.tri_perm[jnp.maximum(tri_sorted, 0)],
                     -1)

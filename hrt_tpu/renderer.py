@@ -56,20 +56,24 @@ def _ray_block_size(n: int, t: int) -> int:
 
 
 def trace_closest(scene: SceneData, accel, o, d, t_min, t_max,
-                  config: RenderConfig):
-    """Closest-hit over the whole ray batch. Returns (t, tri, u, v)."""
+                  config: RenderConfig, sorted_ids: bool = False):
+    """Closest-hit over the whole ray batch. Returns (t, tri, u, v).
+
+    sorted_ids=True (accel paths only) returns BVH leaf-pool triangle
+    ids for Accel.attr shading, skipping the per-ray tri_perm remap."""
     mode = config.traversal
     if mode in ("bvh", "pallas") and accel is not None:
         from .ops import traversal
 
         return traversal.closest_hit_bvh(
             scene, accel, o, d, t_min, t_max,
-            use_pallas=(mode == "pallas"))
+            use_pallas=(mode == "pallas"), sorted_ids=sorted_ids)
     if mode == "auto" and accel is not None:
         from .ops import traversal
 
         return traversal.closest_hit_bvh(scene, accel, o, d, t_min, t_max,
-                                         use_pallas=True)
+                                         use_pallas=True,
+                                         sorted_ids=sorted_ids)
 
     n = o.shape[0]
     block = _ray_block_size(n, scene.num_triangles)
@@ -144,6 +148,29 @@ def interpolate_hit(scene: SceneData, tri_idx, u, v):
     uv = ww * rows[:, 9:11] + wu * rows[:, 11:13] + wv * rows[:, 13:15]
     mat_id = rows[:, 15].astype(jnp.int32)
     return normalize(normal), uv, mat_id
+
+
+def _hit_attr_table(accel):
+    """The pre-sorted attribute table if the accel carries one
+    (lbvh.Accel.attr), unwrapping a WideAccel."""
+    if accel is None:
+        return None
+    base = getattr(accel, "base", accel)
+    return getattr(base, "attr", None)
+
+
+def hit_attrs_sorted(attr, tri_idx, u, v):
+    """interpolate_hit + material fetch in ONE gather of the pre-sorted
+    attribute table (tri_idx in BVH leaf-pool order).  Returns
+    (normal, uv, mat_rows)."""
+    from .ops.lbvh import ATTR_MAT
+
+    rows = attr[jnp.maximum(tri_idx, 0)]          # (N, 16 + MAT_W)
+    w = 1.0 - u - v
+    wu, wv, ww = u[..., None], v[..., None], w[..., None]
+    normal = (ww * rows[:, 0:3] + wu * rows[:, 3:6] + wv * rows[:, 6:9])
+    uv = ww * rows[:, 9:11] + wu * rows[:, 11:13] + wv * rows[:, 13:15]
+    return normalize(normal), uv, rows[:, ATTR_MAT:]
 
 
 def eval_brdf(config: RenderConfig, mat, n, v, l, frame=None):
@@ -343,6 +370,13 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
     seed = seeds
     gbuffer = None
 
+    # Fast shading path: when the accel carries a pre-sorted attribute
+    # table, trace in leaf-pool id space and shade with ONE gather
+    # (no tri_perm remap, no separate material gather).
+    attr = _hit_attr_table(accel)
+    use_sorted = (attr is not None
+                  and config.traversal in ("bvh", "pallas", "auto"))
+
     for depth in range(config.max_depth):
         # Retired rays trace with t_max = -1: the packet kernel drops
         # them at the root, and fully-dead tiles exit in one step.
@@ -360,11 +394,12 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
             inv = jnp.argsort(perm)
             t, tri, u, v = trace_closest(
                 scene, accel, o[perm], d[perm], config.t_min,
-                t_max[perm], config)
+                t_max[perm], config, sorted_ids=use_sorted)
             t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
         else:
             t, tri, u, v = trace_closest(
-                scene, accel, o, d, config.t_min, t_max, config)
+                scene, accel, o, d, config.t_min, t_max, config,
+                sorted_ids=use_sorted)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,
@@ -373,8 +408,11 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
         radiance = radiance + jnp.where(
             (active & ~hit)[:, None], throughput * sky_rad, 0.0)
 
-        nrm, uv, mat_id = interpolate_hit(scene, tri, u, v)
-        mat_rows = scene.materials[mat_id]
+        if use_sorted:
+            nrm, uv, mat_rows = hit_attrs_sorted(attr, tri, u, v)
+        else:
+            nrm, uv, mat_id = interpolate_hit(scene, tri, u, v)
+            mat_rows = scene.materials[mat_id]
         world_pos = o + t[:, None] * d
         view = -d  # toward viewer
         # Front-face test before the flip (drives refraction eta).
