@@ -46,6 +46,49 @@ def make_light(position, color, intensity: float,
     return rec
 
 
+def process_light_one(light: jnp.ndarray, p):
+    """Planar processLight for ONE light row (LIGHT_W,) against a V3 of
+    world positions (see ops/v3.py).  Returns (to_light V3 unnormalized,
+    color V3-of-scalars, intensity plane, unbounded 0-d bool).
+
+    Same semantics as process_light; the renderer unrolls the
+    (small, static) light loop so every term stays a linear plane."""
+    from ..ops import v3
+    from ..ops.v3 import V3
+
+    lint = light[INTENSITY]
+    ltype = light[TYPE]
+    ldir = V3(light[8], light[9], light[10])
+    has_dir = v3.dot(ldir, ldir) > 1e-12
+
+    to_light_pt = V3(light[0] - p.x, light[1] - p.y, light[2] - p.z)
+    d2 = v3.dot(to_light_pt, to_light_pt)
+    falloff = lint / jnp.maximum(d2, 1e-12)
+
+    is_point = ltype == POINT
+    is_spot = ltype == SPOT
+    is_dir = ltype == DIRECTIONAL
+
+    axis = ldir * (1.0 / jnp.maximum(jnp.sqrt(v3.dot(ldir, ldir)),
+                                     1e-12))
+    cos_to = v3.dot(-to_light_pt, axis) / jnp.maximum(jnp.sqrt(d2),
+                                                      1e-12)
+    in_cone = cos_to >= light[COS_CONE]
+    spot_int = falloff * in_cone.astype(jnp.float32)
+
+    fixed = V3(*(jnp.float32(c) for c in _DEFAULT_DIR))
+    dir_to_light = v3.where(has_dir, -ldir, fixed)
+
+    intensity = jnp.where(is_point, falloff,
+                          jnp.where(is_spot & has_dir, spot_int, lint))
+    ones = jnp.ones_like(p.x)
+    direction = v3.where(is_point | is_spot, to_light_pt,
+                         dir_to_light * ones)
+    unbounded = is_dir & has_dir
+    color = V3(light[3], light[4], light[5])
+    return direction, color, intensity, unbounded
+
+
 def process_light(lights: jnp.ndarray, world_pos: jnp.ndarray):
     """Vectorized processLight (ref: shaders/light.slang:23-39).
 

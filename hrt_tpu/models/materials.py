@@ -26,6 +26,8 @@ Layout (MAT_W f32 per material):
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 MAT_W = 20
@@ -48,6 +50,63 @@ TRANSMISSION = 18
 
 # ROUGHNESS_ZERO guard (ref: Scene.h:18) — we clamp at shade time instead.
 ROUGHNESS_MIN = 1e-4
+
+
+class MatP(NamedTuple):
+    """Material fields as separate per-ray planes (see ops/v3.py for the
+    TPU layout rationale): every field is an (N,)-shaped array (or
+    broadcastable), colors are V3s.  Built once per bounce from the
+    gathered attribute rows; all shading reads are then free slices."""
+
+    color: "object"       # V3
+    subsurface: np.ndarray
+    metallic: np.ndarray
+    roughness: np.ndarray
+    specular: np.ndarray
+    specular_tint: np.ndarray
+    anisotropic: np.ndarray
+    sheen_tint: np.ndarray
+    clearcoat: np.ndarray
+    clearcoat_gloss: np.ndarray
+    emissive: "object"    # V3
+    emission_strength: np.ndarray
+    ior: np.ndarray
+    transmission: np.ndarray
+
+    @staticmethod
+    def from_rows(rows) -> "MatP":
+        """From gathered (..., MAT_W) rows (compat path: slices along
+        the minor axis relayout on TPU — prefer from_rows_t)."""
+        from ..ops.v3 import V3
+
+        f = lambda i: rows[..., i]
+        return MatP(
+            color=V3(f(0), f(1), f(2)), subsurface=f(SUBSURFACE),
+            metallic=f(METALLIC), roughness=f(ROUGHNESS),
+            specular=f(SPECULAR), specular_tint=f(SPECULAR_TINT),
+            anisotropic=f(ANISOTROPIC), sheen_tint=f(SHEEN_TINT),
+            clearcoat=f(CLEARCOAT), clearcoat_gloss=f(CLEARCOAT_GLOSS),
+            emissive=V3(f(13), f(14), f(15)),
+            emission_strength=f(EMISSION_STRENGTH), ior=f(IOR),
+            transmission=f(TRANSMISSION))
+
+    @staticmethod
+    def from_rows_t(rt, base: int = 0) -> "MatP":
+        """From transposed rows (W, N) — every field is a free row
+        slice with rays in lanes.  `base`: row offset of the material
+        block inside a wider table (lbvh.ATTR_MAT for Accel.attr)."""
+        from ..ops.v3 import V3
+
+        f = lambda i: rt[base + i]
+        return MatP(
+            color=V3(f(0), f(1), f(2)), subsurface=f(SUBSURFACE),
+            metallic=f(METALLIC), roughness=f(ROUGHNESS),
+            specular=f(SPECULAR), specular_tint=f(SPECULAR_TINT),
+            anisotropic=f(ANISOTROPIC), sheen_tint=f(SHEEN_TINT),
+            clearcoat=f(CLEARCOAT), clearcoat_gloss=f(CLEARCOAT_GLOSS),
+            emissive=V3(f(13), f(14), f(15)),
+            emission_strength=f(EMISSION_STRENGTH), ior=f(IOR),
+            transmission=f(TRANSMISSION))
 
 
 def make_material(

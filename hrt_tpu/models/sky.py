@@ -58,6 +58,41 @@ def default_sky() -> np.ndarray:
     return s
 
 
+def eval_sky_p(sky: jnp.ndarray, d, enabled: bool = True):
+    """Planar eval_sky: d is a V3 of unit directions; returns a V3.
+    Same math as eval_sky (see ops/v3.py for the layout rationale)."""
+    from ..ops import v3
+    from ..ops.v3 import V3
+
+    if not enabled:
+        z = jnp.zeros_like(d.x)
+        return V3(z, z, z)
+    up = normalize(sky[UP_DIRECTION])
+    sun = normalize(sky[SUN_DIRECTION])
+    elev = d.x * up[0] + d.y * up[1] + d.z * up[2]
+    horizon_size = jnp.maximum(sky[HORIZON_SIZE], 1e-3)
+    t_sky = jnp.clip(elev / horizon_size, 0.0, 1.0)
+    t_gnd = jnp.clip(-elev / horizon_size, 0.0, 1.0)
+    hor = V3(sky[3], sky[4], sky[5])
+    skc = V3(sky[0], sky[1], sky[2])
+    gnd = V3(sky[6], sky[7], sky[8])
+    base = hor * ((1.0 - t_sky) * (1.0 - t_gnd)) + skc * t_sky \
+        + gnd * t_gnd
+    cos_sun = d.x * sun[0] + d.y * sun[1] + d.z * sun[2]
+    cos_disc = jnp.cos(sky[ANGULAR_SIZE])
+    disc = (cos_sun >= cos_disc).astype(jnp.float32) * sky[LIGHT_RADIANCE]
+    ang = jnp.arccos(jnp.clip(cos_sun, -1.0, 1.0))
+    glow = sky[GLOW_INTENSITY] * jnp.exp(
+        -(ang - sky[ANGULAR_SIZE])
+        / jnp.maximum(sky[GLOW_SIZE], 1e-3)
+        * jnp.maximum(sky[GLOW_SHARPNESS], 1e-3) * 10.0
+    ) * (cos_sun > 0).astype(jnp.float32)
+    above = (elev > -horizon_size).astype(jnp.float32)
+    sun_term = (disc + glow) * above
+    out = base * sky[BRIGHTNESS] + sun_term
+    return out
+
+
 def eval_sky(sky: jnp.ndarray, directions: jnp.ndarray,
              enabled: bool = True) -> jnp.ndarray:
     """Evaluate sky radiance for unit ray directions (..., 3).

@@ -12,15 +12,19 @@ parity:
   (diffuse/pi * color + sheen) * (1-metallic) + specular + clearcoat
   (disney.slang:95-116).
 
-Materials arrive as gathered rows of the material table (see
-models/materials.py for field offsets); all other args are (..., 3).
+The core (`brdf_p`) is PLANAR: materials arrive as MatP field planes
+and vectors as V3s (see ops/v3.py for the layout rationale — this
+keeps the whole evaluation elementwise on linear arrays, no cross-lane
+relayouts).  The array-API `brdf` wraps it for (..., MAT_W)/(..., 3)
+callers (tests, compat paths).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..models import materials as M
-from .math3d import dot, normalize, square, to_local
+from ..models.materials import MatP
+from . import v3
+from .v3 import V3
 
 PI = jnp.float32(3.1415926535897)
 ONE_OVER_PI = jnp.float32(0.3183098861837)
@@ -53,14 +57,13 @@ def gtr2(ndoth, a):
     uses GTR2_anisotropic, which has the square); we implement the
     correct normalized form."""
     a2 = a * a
-    return a2 / (PI * square(1.0 + (a2 - 1.0) * ndoth * ndoth))
+    d = 1.0 + (a2 - 1.0) * ndoth * ndoth
+    return a2 / (PI * d * d)
 
 
 def gtr2_anisotropic(ndoth, hdotx, hdoty, ax, ay):
-    return 1.0 / (
-        PI * ax * ay
-        * square(square(hdotx / ax) + square(hdoty / ay) + ndoth * ndoth)
-    )
+    s = (hdotx / ax) ** 2 + (hdoty / ay) ** 2 + ndoth * ndoth
+    return 1.0 / (PI * ax * ay * s * s)
 
 
 def smith_ggx(ndotv, a):
@@ -71,15 +74,17 @@ def smith_ggx(ndotv, a):
 def smith_ggx_anisotropic(ndotv, vdotx, vdoty, ax, ay):
     return 1.0 / (
         ndotv
-        + jnp.sqrt(square(vdotx * ax) + square(vdoty * ay) * ndotv * ndotv)
+        + jnp.sqrt((vdotx * ax) ** 2 + (vdoty * ay) ** 2 * ndotv * ndotv)
     )
 
 
-def calculate_tint(color):
+def calculate_tint(color: V3) -> V3:
     """ref: disney.slang:39-42."""
-    lum = dot(jnp.asarray([0.3, 0.6, 1.0], jnp.float32), color)[..., None]
-    return jnp.where(lum > 0.0, color / jnp.maximum(lum, 1e-12),
-                     jnp.ones_like(color))
+    lum = 0.3 * color.x + 0.6 * color.y + 1.0 * color.z
+    ok = lum > 0.0
+    inv = 1.0 / jnp.maximum(lum, 1e-12)
+    return v3.where(ok, color * inv, V3.const((1.0, 1.0, 1.0),
+                                              like=lum))
 
 
 def anisotropic_params(anisotropic, roughness):
@@ -92,93 +97,91 @@ def anisotropic_params(anisotropic, roughness):
     return ax, ay
 
 
-def eval_sheen(mat, hdotl):
-    tint = calculate_tint(mat[..., M.COLOR])
-    sheen_tint = mat[..., M.SHEEN_TINT, None]
-    return (1.0 + (tint - 1.0) * sheen_tint) * schlick_weight(hdotl)[..., None]
+def eval_sheen(mat: MatP, hdotl) -> V3:
+    tint = calculate_tint(mat.color)
+    one = V3.const((1.0, 1.0, 1.0), like=hdotl)
+    return (one + (tint - 1.0) * mat.sheen_tint) * schlick_weight(hdotl)
 
 
-def eval_clearcoat(mat, ndoth, ndotl, ndotv, ldoth):
-    gloss = mat[..., M.CLEARCOAT_GLOSS]
-    d = gtr1(ndoth, 0.1 + (0.001 - 0.1) * gloss)
+def eval_clearcoat(mat: MatP, ndoth, ndotl, ndotv, ldoth):
+    d = gtr1(ndoth, 0.1 + (0.001 - 0.1) * mat.clearcoat_gloss)
     f = schlick_fresnel(0.04, ldoth)
     g = smith_ggx(ndotl, 0.25) * smith_ggx(ndotv, 0.25)
-    return 0.25 * mat[..., M.CLEARCOAT] * d * f * g
+    return 0.25 * mat.clearcoat * d * f * g
 
 
-def eval_diffuse(mat, local_l, local_v, local_h):
+def eval_diffuse(mat: MatP, local_l: V3, local_v: V3, local_h: V3):
     """ref: disney.slang:57-69 (operates on tangent-frame vectors)."""
-    rough = mat[..., M.ROUGHNESS]
-    fl = schlick_weight(local_l[..., 2])
-    fv = schlick_weight(local_v[..., 2])
-    hdotl = dot(local_h, local_l)
-    fd90 = 0.5 + 2.0 * rough * square(hdotl)
+    rough = mat.roughness
+    fl = schlick_weight(local_l.z)
+    fv = schlick_weight(local_v.z)
+    hdotl = v3.dot(local_h, local_l)
+    fd90 = 0.5 + 2.0 * rough * hdotl * hdotl
     fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
-    fss90 = square(hdotl) * rough
+    fss90 = hdotl * hdotl * rough
     fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
-    lz_vz = local_l[..., 2] + local_v[..., 2]
+    lz_vz = local_l.z + local_v.z
     ss = 1.25 * (fss * (1.0 / jnp.maximum(lz_vz, 1e-6) - 0.5) + 0.5)
-    return fd + (ss - fd) * mat[..., M.SUBSURFACE]
+    return fd + (ss - fd) * mat.subsurface
 
 
-def eval_specular(mat, local_h, local_v, local_l):
+def eval_specular(mat: MatP, local_h: V3, local_v: V3, local_l: V3) -> V3:
     """ref: disney.slang:80-93."""
-    ax, ay = anisotropic_params(mat[..., M.ANISOTROPIC],
-                                mat[..., M.ROUGHNESS])
-    tint = calculate_tint(mat[..., M.COLOR])
-    spec = mat[..., M.SPECULAR, None]
-    spec_tint = mat[..., M.SPECULAR_TINT, None]
-    metallic = mat[..., M.METALLIC, None]
-    base = spec * 0.08 * (1.0 + (tint - 1.0) * spec_tint)
-    color = base + (mat[..., M.COLOR] - base) * metallic
-    ndoth = local_h[..., 2]
-    d = gtr2_anisotropic(ndoth, local_h[..., 0], local_h[..., 1], ax, ay)
-    fresnel = schlick_weight(dot(local_l, local_h))[..., None]
-    f = color + (1.0 - color) * fresnel
-    g = (
-        smith_ggx_anisotropic(local_l[..., 2], local_l[..., 0],
-                              local_l[..., 1], ax, ay)
-        * smith_ggx_anisotropic(local_v[..., 2], local_v[..., 0],
-                                local_v[..., 1], ax, ay)
-    )
-    return (d * g)[..., None] * f
+    ax, ay = anisotropic_params(mat.anisotropic, mat.roughness)
+    tint = calculate_tint(mat.color)
+    one = V3.const((1.0, 1.0, 1.0), like=local_h.z)
+    base = (one + (tint - 1.0) * mat.specular_tint) * (mat.specular
+                                                       * 0.08)
+    color = base + (mat.color - base) * mat.metallic
+    d = gtr2_anisotropic(local_h.z, local_h.x, local_h.y, ax, ay)
+    fresnel = schlick_weight(v3.dot(local_l, local_h))
+    f = color + (one - color) * fresnel
+    g = (smith_ggx_anisotropic(local_l.z, local_l.x, local_l.y, ax, ay)
+         * smith_ggx_anisotropic(local_v.z, local_v.x, local_v.y, ax,
+                                 ay))
+    return f * (d * g)
+
+
+def brdf_p(mat: MatP, n: V3, v: V3, l: V3, frame=None) -> V3:
+    """Full Disney BRDF, planar core (ref: disney.slang:95-116).
+
+    v points away from the surface toward the viewer.  Returns a V3;
+    zero where NdotL or NdotV <= 0 (reference's early-out).
+    `frame`: optional precomputed v3.orthonormal_basis(n) — hoisting it
+    saves rebuilding the identical basis across lights in NEE."""
+    ndotl = v3.dot(n, l)
+    ndotv = v3.dot(n, v)
+    h = v3.normalize(v + l)
+    ndoth = v3.dot(n, h)
+    hdotl = v3.dot(h, l)
+
+    if frame is None:
+        frame = v3.orthonormal_basis(n)
+    local_h = v3.to_local(h, n, frame)
+    local_v = v3.to_local(v, n, frame)
+    local_l = v3.to_local(l, n, frame)
+
+    sheen = eval_sheen(mat, hdotl)
+    clearcoat = eval_clearcoat(mat, ndoth, ndotl, ndotv, hdotl)
+    specular = eval_specular(mat, local_h, local_v, local_l)
+    diffuse = eval_diffuse(mat, local_l, local_v, local_h)
+
+    out = ((mat.color * (ONE_OVER_PI * diffuse) + sheen)
+           * (1.0 - mat.metallic) + specular + clearcoat)
+    visible = (ndotl > 0.0) & (ndotv > 0.0)
+    return v3.where(visible, out, V3.const((0.0, 0.0, 0.0), like=ndotl))
 
 
 def brdf(mat, n, v, l, frame=None):
-    """Full Disney BRDF (ref: disney.slang:95-116).
+    """Array-API wrapper over brdf_p.
 
-    mat: (..., MAT_W) gathered material rows; n/v/l: (..., 3) with v
-    pointing away from the surface toward the viewer.  Returns (..., 3);
-    zero where NdotL or NdotV <= 0 (reference's early-out).
-    `frame`: optional precomputed orthonormal_basis(n) — hoisting it
-    saves rebuilding the identical basis for H, V and L (and across
-    lights in NEE); results are bitwise identical.
-    """
-    ndotl = dot(n, l)
-    ndotv = dot(n, v)
-    h = normalize(v + l)
-    ndoth = dot(n, h)
-    hdotl = dot(h, l)
-
-    if frame is None:
-        from .math3d import orthonormal_basis
-
-        frame = orthonormal_basis(n)
-    local_h = to_local(h, n, frame)
-    local_v = to_local(v, n, frame)
-    local_l = to_local(l, n, frame)
-
-    sheen = eval_sheen(mat, hdotl)
-    clearcoat = eval_clearcoat(mat, ndoth, ndotl, ndotv, hdotl)[..., None]
-    specular = eval_specular(mat, local_h, local_v, local_l)
-    diffuse = eval_diffuse(mat, local_l, local_v, local_h)[..., None]
-
-    metallic = mat[..., M.METALLIC, None]
-    color = mat[..., M.COLOR]
-    out = (
-        (ONE_OVER_PI * diffuse * color + sheen) * (1.0 - metallic)
-        + specular
-        + clearcoat
-    )
-    visible = ((ndotl > 0.0) & (ndotv > 0.0))[..., None]
-    return jnp.where(visible, out, 0.0)
+    mat: (..., MAT_W) gathered material rows; n/v/l: (..., 3).  Returns
+    (..., 3).  Prefer brdf_p + MatP/V3 on hot paths (the conversions
+    here are per-call relayouts)."""
+    fr = None
+    if frame is not None:
+        fr = (V3.from_array(frame[0]), V3.from_array(frame[1]))
+    out = brdf_p(MatP.from_rows(mat), V3.from_array(n),
+                 V3.from_array(v), V3.from_array(l), frame=fr)
+    x, y, z = jnp.broadcast_arrays(out.x, out.y, out.z)
+    return jnp.stack([x, y, z], axis=-1)

@@ -175,6 +175,48 @@ def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
     return t, tri, u, v
 
 
+def closest_hit_bvh_p(scene, accel, o, d, t_min, t_max,
+                      use_pallas: bool = False,
+                      sorted_ids: bool = False):
+    """Planar closest_hit_bvh: o/d are V3s (ops/v3.py).  Non-Pallas
+    fallbacks stack to arrays (only the slow/oracle paths pay that)."""
+    base, wide = _unwrap(accel)
+    if use_pallas:
+        from . import traversal_pallas
+
+        if wide is not None and _wide_fits(wide):
+            from . import traversal_wide
+
+            return traversal_wide.closest_hit(
+                scene, wide, o.to_array(), d.to_array(), t_min, t_max,
+                sorted_ids=sorted_ids)
+        if traversal_pallas.available():
+            return traversal_pallas.closest_hit_p(
+                scene, base, o, d, t_min, t_max, sorted_ids=sorted_ids)
+    return closest_hit_bvh(scene, base, o.to_array(), d.to_array(),
+                           t_min, t_max, use_pallas=False,
+                           sorted_ids=sorted_ids)
+
+
+def any_hit_bvh_p(scene, accel, o, d, t_min, t_max,
+                  use_pallas: bool = False):
+    """Planar any_hit_bvh (V3 in, bool (N,) out)."""
+    base, wide = _unwrap(accel)
+    if use_pallas:
+        from . import traversal_pallas
+
+        if wide is not None and _wide_fits(wide):
+            from . import traversal_wide
+
+            return traversal_wide.any_hit(scene, wide, o.to_array(),
+                                          d.to_array(), t_min, t_max)
+        if traversal_pallas.available():
+            return traversal_pallas.any_hit_p(scene, base, o, d,
+                                              t_min, t_max)
+    return any_hit_bvh(scene, base, o.to_array(), d.to_array(), t_min,
+                       t_max, use_pallas=False)
+
+
 def any_hit_bvh(scene, accel, o, d, t_min, t_max,
                 use_pallas: bool = False):
     """Occlusion query via BVH (shadow rays); returns bool (N,)."""

@@ -375,9 +375,13 @@ def _to_tiles(x: jnp.ndarray, n_pad: int, fill=0.0):
     return x.reshape(-1, TILE_LANES)
 
 
-def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
+def _run_planes(scene, accel, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                find_closest: bool):
+    """Planar core: ray components as (N,) planes — reshaping a linear
+    plane into (rows, 128) tiles is free, so the kernel boundary costs
+    no layout copies (see ops/v3.py)."""
     flat = accel.flat
-    n = o.shape[0]
+    n = ox.shape[0]
     quantum = BLOCK_ROWS * TILE_LANES
     n_pad = ((n + quantum - 1) // quantum) * quantum
     nl = accel.tree.child_l.shape[0] + 1
@@ -385,9 +389,9 @@ def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
     leaf_size = accel.leaf_size
 
     tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    comps = [_to_tiles(o[:, 0], n_pad), _to_tiles(o[:, 1], n_pad),
-             _to_tiles(o[:, 2], n_pad), _to_tiles(d[:, 0], n_pad),
-             _to_tiles(d[:, 1], n_pad), _to_tiles(d[:, 2], n_pad),
+    comps = [_to_tiles(ox, n_pad), _to_tiles(oy, n_pad),
+             _to_tiles(oz, n_pad), _to_tiles(dx, n_pad),
+             _to_tiles(dy, n_pad), _to_tiles(dz, n_pad),
              _to_tiles(tmax, n_pad, fill=-1.0)]  # padded rays hit nothing
     t, tri, u, v = _trace_tiles(
         *comps, flat.nodes, flat.tris,
@@ -395,6 +399,44 @@ def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
         find_closest=find_closest)[:4]
     flat_out = lambda a: a.reshape(-1)[:n]
     return flat_out(t), flat_out(tri), flat_out(u), flat_out(v)
+
+
+def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
+    return _run_planes(scene, accel, o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2], t_min, t_max,
+                       find_closest)
+
+
+def closest_hit_p(scene, accel, o, d, t_min, t_max,
+                  sorted_ids: bool = False):
+    """Planar closest_hit: o/d are V3s of (N,) planes (ops/v3.py)."""
+    if not _vmem_ok(accel.flat):
+        from . import traversal
+
+        return traversal.closest_hit_bvh(
+            scene, accel, o.to_array(), d.to_array(), t_min, t_max,
+            use_pallas=False, sorted_ids=sorted_ids)
+    t, tri_sorted, u, v = _run_planes(scene, accel, o.x, o.y, o.z,
+                                      d.x, d.y, d.z, t_min, t_max, True)
+    if sorted_ids:
+        return t, tri_sorted, u, v
+    tri = jnp.where(tri_sorted >= 0,
+                    accel.tree.tri_perm[jnp.maximum(tri_sorted, 0)], -1)
+    return t, tri, u, v
+
+
+def any_hit_p(scene, accel, o, d, t_min, t_max):
+    """Planar occlusion query (V3 in, bool (N,) out)."""
+    if not _vmem_ok(accel.flat):
+        from . import traversal
+
+        return traversal.any_hit_bvh(scene, accel, o.to_array(),
+                                     d.to_array(), t_min, t_max,
+                                     use_pallas=False)
+    _, tri_sorted, _, _ = _run_planes(scene, accel, o.x, o.y, o.z,
+                                      d.x, d.y, d.z, t_min, t_max,
+                                      False)
+    return tri_sorted >= 0
 
 
 def closest_hit(scene, accel, o, d, t_min, t_max, sorted_ids: bool = False):

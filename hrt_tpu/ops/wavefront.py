@@ -62,6 +62,14 @@ def direction_order_key(d: jnp.ndarray) -> jnp.ndarray:
     return octant.astype(jnp.float32) * 16.0 + (dy * 4.0 + dz)
 
 
+def direction_order_key_p(d) -> jnp.ndarray:
+    """Planar direction_order_key (d is a V3 of planes, ops/v3.py)."""
+    octant = ((d.x > 0).astype(jnp.int32)
+              | ((d.y > 0).astype(jnp.int32) << 1)
+              | ((d.z > 0).astype(jnp.int32) << 2))
+    return octant.astype(jnp.float32) * 16.0 + (d.y * 4.0 + d.z)
+
+
 def direction_order(d: jnp.ndarray):
     """Permutation form of direction_order_key."""
     return jnp.argsort(direction_order_key(d))

@@ -7,6 +7,14 @@ one XLA program per RenderConfig, with the bounce loop unrolled to
 `max_depth` (the reference's `while depth < depthMax` at
 raytracing.slang:119-126) and per-pixel SIMT parallelism replaced by
 SoA ray batches on the VPU.
+
+Round-2 layout redesign: the whole shading pipeline is PLANAR — every
+per-ray vector lives as three (N,) linear planes (ops/v3.py) instead of
+an (N, 3) array.  Per-op xprof showed the (N, 3) form costing ~25% of
+device frame time in cross-lane relayout fusions (field extraction,
+dot-product reduces, scalar->vector broadcasts); planes make all of it
+pure elementwise VPU work and feed the Pallas packet kernel's
+(rows, 128) tiles with free reshapes.
 """
 from __future__ import annotations
 
@@ -18,13 +26,15 @@ import jax.numpy as jnp
 
 from .config import RenderConfig
 from .models import materials as M
-from .models.camera import Camera, primary_rays
-from .models.lights import process_light
+from .models.camera import Camera, primary_rays, primary_rays_p
+from .models.lights import process_light_one
+from .models.materials import MatP
 from .models.scene import SceneData
-from .models.sky import eval_sky
-from .ops import intersect, rng, sampling
-from .ops.disney import brdf, schlick_weight
-from .ops.math3d import dot, length, normalize, square
+from .models.sky import eval_sky_p
+from .ops import intersect, rng, sampling, v3
+from .ops.disney import brdf_p, schlick_weight
+from .ops.lbvh import ATTR_MAT
+from .ops.v3 import V3
 
 INF = intersect.INF
 
@@ -55,26 +65,8 @@ def _ray_block_size(n: int, t: int) -> int:
     return n
 
 
-def trace_closest(scene: SceneData, accel, o, d, t_min, t_max,
-                  config: RenderConfig, sorted_ids: bool = False):
-    """Closest-hit over the whole ray batch. Returns (t, tri, u, v).
-
-    sorted_ids=True (accel paths only) returns BVH leaf-pool triangle
-    ids for Accel.attr shading, skipping the per-ray tri_perm remap."""
-    mode = config.traversal
-    if mode in ("bvh", "pallas") and accel is not None:
-        from .ops import traversal
-
-        return traversal.closest_hit_bvh(
-            scene, accel, o, d, t_min, t_max,
-            use_pallas=(mode == "pallas"), sorted_ids=sorted_ids)
-    if mode == "auto" and accel is not None:
-        from .ops import traversal
-
-        return traversal.closest_hit_bvh(scene, accel, o, d, t_min, t_max,
-                                         use_pallas=True,
-                                         sorted_ids=sorted_ids)
-
+def _trace_closest_brute(scene: SceneData, o, d, t_min, t_max,
+                         config: RenderConfig):
     n = o.shape[0]
     block = _ray_block_size(n, scene.num_triangles)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -91,6 +83,35 @@ def trace_closest(scene: SceneData, accel, o, d, t_min, t_max,
                                   d.reshape(-1, block, 3),
                                   t_max.reshape(-1, block)))
     return tuple(r.reshape(n) for r in res)
+
+
+def trace_closest(scene: SceneData, accel, o, d, t_min, t_max,
+                  config: RenderConfig, sorted_ids: bool = False):
+    """Closest-hit over the whole ray batch (array API).
+    Returns (t, tri, u, v); sorted_ids=True (accel paths only) returns
+    BVH leaf-pool ids for Accel.attr shading."""
+    mode = config.traversal
+    if mode in ("bvh", "pallas", "auto") and accel is not None:
+        from .ops import traversal
+
+        return traversal.closest_hit_bvh(
+            scene, accel, o, d, t_min, t_max,
+            use_pallas=(mode != "bvh"), sorted_ids=sorted_ids)
+    return _trace_closest_brute(scene, o, d, t_min, t_max, config)
+
+
+def trace_closest_p(scene: SceneData, accel, o: V3, d: V3, t_min, t_max,
+                    config: RenderConfig, sorted_ids: bool = False):
+    """Planar closest-hit dispatch (o/d V3s of (N,) planes)."""
+    mode = config.traversal
+    if mode in ("bvh", "pallas", "auto") and accel is not None:
+        from .ops import traversal
+
+        return traversal.closest_hit_bvh_p(
+            scene, accel, o, d, t_min, t_max,
+            use_pallas=(mode != "bvh"), sorted_ids=sorted_ids)
+    return _trace_closest_brute(scene, o.to_array(), d.to_array(),
+                                t_min, t_max, config)
 
 
 def trace_any(scene: SceneData, accel, o, d, t_min, t_max,
@@ -120,6 +141,19 @@ def trace_any(scene: SceneData, accel, o, d, t_min, t_max,
     return res.reshape(n)
 
 
+def trace_any_p(scene: SceneData, accel, o: V3, d: V3, t_min, t_max,
+                config: RenderConfig):
+    """Planar occlusion dispatch."""
+    mode = config.traversal
+    if (mode in ("bvh", "pallas", "auto")) and accel is not None:
+        from .ops import traversal
+
+        return traversal.any_hit_bvh_p(scene, accel, o, d, t_min, t_max,
+                                       use_pallas=(mode != "bvh"))
+    return trace_any(scene, None, o.to_array(), d.to_array(), t_min,
+                     t_max, config)
+
+
 # ---------------------------------------------------------------------------
 # Shading (the rchitMain / calculateColor stage,
 # ref: shaders/raytracing.slang:72-88,135-170)
@@ -127,12 +161,8 @@ def trace_any(scene: SceneData, accel, o, d, t_min, t_max,
 
 def interpolate_hit(scene: SceneData, tri_idx, u, v):
     """Gather + barycentric-interpolate hit attributes
-    (ref: shaders/objects.slang:35-54).
-
-    All per-triangle attributes are packed into one (T, 16) table so
-    the hot path issues a SINGLE gather per hit instead of seven
-    (normals x3, uvs x3, material id); the pack itself is a cheap
-    O(T) concat that XLA amortizes."""
+    (ref: shaders/objects.slang:35-54).  Array-API compat helper
+    (the frame program uses _shade_attrs_p); one packed gather."""
     attr = jnp.concatenate(
         [scene.nrm0, scene.nrm1, scene.nrm2,
          scene.uv0, scene.uv1, scene.uv2,
@@ -147,7 +177,9 @@ def interpolate_hit(scene: SceneData, tri_idx, u, v):
               + wv * rows[:, 6:9])
     uv = ww * rows[:, 9:11] + wu * rows[:, 11:13] + wv * rows[:, 13:15]
     mat_id = rows[:, 15].astype(jnp.int32)
-    return normalize(normal), uv, mat_id
+    from .ops.math3d import normalize as nrm_arr
+
+    return nrm_arr(normal), uv, mat_id
 
 
 def _hit_attr_table(accel):
@@ -159,213 +191,266 @@ def _hit_attr_table(accel):
     return getattr(base, "attr", None)
 
 
-def hit_attrs_sorted(attr, tri_idx, u, v):
-    """interpolate_hit + material fetch in ONE gather of the pre-sorted
-    attribute table (tri_idx in BVH leaf-pool order).  Returns
-    (normal, uv, mat_rows)."""
-    from .ops.lbvh import ATTR_MAT
+def _scene_attr_table(scene: SceneData):
+    """Fallback attribute table in ORIGINAL triangle order, same column
+    layout as Accel.attr (for brute-force / no-accel paths)."""
+    base = jnp.concatenate(
+        [scene.nrm0, scene.nrm1, scene.nrm2,
+         scene.uv0, scene.uv1, scene.uv2,
+         scene.tri_mat[:, None].astype(jnp.float32)], axis=1)
+    return jnp.concatenate([base, scene.materials[scene.tri_mat]],
+                           axis=1)
 
-    rows = attr[jnp.maximum(tri_idx, 0)]          # (N, 16 + MAT_W)
+
+def _shade_attrs_p(tab, tri_idx, u, v):
+    """Hit attributes from ONE gather of the (T, 16+MAT_W) table.
+
+    The gathered rows are transposed once to (W, N) so every field and
+    material plane is a free row slice with rays in lanes (ops/v3.py).
+    Returns (normal V3 [unit], mat MatP, rows (N, W) for array-API
+    consumers like the pbr BSDF).  uv interpolation is omitted — no
+    consumer yet (texturing will add it)."""
+    rows = tab[jnp.maximum(tri_idx, 0)]           # (N, W) single gather
+    rt = rows.T                                   # (W, N) one relayout
     w = 1.0 - u - v
-    wu, wv, ww = u[..., None], v[..., None], w[..., None]
-    normal = (ww * rows[:, 0:3] + wu * rows[:, 3:6] + wv * rows[:, 6:9])
-    uv = ww * rows[:, 9:11] + wu * rows[:, 11:13] + wv * rows[:, 13:15]
-    return normalize(normal), uv, rows[:, ATTR_MAT:]
+    normal = v3.normalize(V3(
+        w * rt[0] + u * rt[3] + v * rt[6],
+        w * rt[1] + u * rt[4] + v * rt[7],
+        w * rt[2] + u * rt[5] + v * rt[8]))
+    return normal, MatP.from_rows_t(rt, base=ATTR_MAT), rows
 
 
-def eval_brdf(config: RenderConfig, mat, n, v, l, frame=None):
+def _eval_brdf_p(config: RenderConfig, mat: MatP, rows, n: V3, view: V3,
+                 l: V3, frame):
     """Material-model dispatch: Disney (default, parity) or the glTF
     metallic-roughness alternative (ref: shaders/pbr.slang)."""
     if config.brdf == "pbr":
         from .ops import pbr
 
-        return pbr.bsdf_evaluate_simple(mat, n, v, l)
-    return brdf(mat, n, v, l, frame=frame)
+        f = pbr.bsdf_evaluate_simple(rows[:, ATTR_MAT:], n.to_array(),
+                                     view.to_array(), l.to_array())
+        return V3.from_array(f)
+    return brdf_p(mat, n, view, l, frame=frame)
 
 
-def _direct_sampled(scene: SceneData, accel, mat_rows, n, view,
-                    world_pos, config: RenderConfig, ray_mask, seed):
+def _zero3(like) -> V3:
+    z = jnp.zeros_like(like)
+    return V3(z, z, z)
+
+
+def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
+                      view: V3, world_pos: V3, config: RenderConfig,
+                      ray_mask, seed, frame):
     """Many-light NEE: importance-sample `light_samples` lights per
     shading point by unshadowed contribution (intensity x NdotL x
     luminance) — the light-hierarchy stand-in the reference's comment
     points at (raytracing.slang:76).  Shadow rays per point: S, not L."""
-    from .ops.math3d import luminance
+    num_lights = scene.lights.shape[0]
+    ls, reaches, ws = [], [], []
+    for i in range(num_lights):
+        ldir, lcol, lint, unb = process_light_one(scene.lights[i],
+                                                  world_pos)
+        l = v3.normalize(ldir)
+        ndotl = jnp.maximum(v3.dot(n, l), 0.0)
+        lum = v3.luminance(lcol)
+        w = ndotl * lint * (lum + 1e-3)
+        w = jnp.where(lint >= config.light_threshold, w, 0.0) + 1e-12
+        ls.append((l, lcol, lint))
+        reaches.append(jnp.where(unb, INF, v3.length(ldir)))
+        ws.append(w)
 
-    nrays = world_pos.shape[0]
-    ar = jnp.arange(nrays)
-    ldir_all, lcol_all, lint_all, unb_all = process_light(
-        scene.lights, world_pos)
-    l_all = normalize(ldir_all)                       # (N, L, 3)
-    ndotl = jnp.maximum(jnp.sum(n[:, None, :] * l_all, -1), 0.0)
-    w = ndotl * lint_all * (luminance(lcol_all)[None] + 1e-3)
-    w = jnp.where(lint_all >= config.light_threshold, w, 0.0) + 1e-12
-    cdf = jnp.cumsum(w, axis=1)
-    total = cdf[:, -1]
+    cdf = []
+    run = jnp.zeros_like(ws[0])
+    for w in ws:
+        run = run + w
+        cdf.append(run)
+    total = run
 
-    out = jnp.zeros((nrays, 3), jnp.float32)
+    out = _zero3(n.x)
     s_count = config.light_samples
     for _ in range(s_count):
         u, seed = rng.rand(seed)
-        pick = jnp.argmax(cdf >= (u * total)[:, None], axis=1)
-        pdf = w[ar, pick] / total
-        l = l_all[ar, pick]
-        f = eval_brdf(config, mat_rows, n, view, l)
-        relevant = (w[ar, pick] > 1e-9)
+        thresh = u * total
+        pick = jnp.zeros_like(u, dtype=jnp.int32)
+        for i in range(num_lights - 1):
+            pick = pick + (cdf[i] < thresh).astype(jnp.int32)
+
+        def sel(vals):
+            acc = jnp.zeros_like(vals[0])
+            for i, val in enumerate(vals):
+                acc = jnp.where(pick == i, val, acc)
+            return acc
+
+        w_pick = sel(ws)
+        pdf = w_pick / total
+        l = V3(sel([t[0].x for t in ls]), sel([t[0].y for t in ls]),
+               sel([t[0].z for t in ls]))
+        lcol = V3(sel([jnp.broadcast_to(t[1].x, w_pick.shape)
+                       for t in ls]),
+                  sel([jnp.broadcast_to(t[1].y, w_pick.shape)
+                       for t in ls]),
+                  sel([jnp.broadcast_to(t[1].z, w_pick.shape)
+                       for t in ls]))
+        lint = sel([jnp.broadcast_to(t[2], w_pick.shape) for t in ls])
+        f = _eval_brdf_p(config, mat, rows, n, view, l, frame)
+        relevant = w_pick > 1e-9
         if ray_mask is not None:
             relevant = relevant & ray_mask
         so = world_pos + n * config.normal_offset
-        reach = jnp.where(unb_all[pick], INF,
-                          length(ldir_all[ar, pick]))
+        reach = sel(reaches)
         st = jnp.where(relevant, reach, -1.0)
-        occluded = trace_any(scene, accel, so, l, config.t_min, st,
-                             config)
+        occluded = trace_any_p(scene, accel, so, l, config.t_min, st,
+                               config)
         vis = 1.0 - occluded.astype(jnp.float32)
-        contrib = (f * lcol_all[pick] * lint_all[ar, pick, None]
-                   * vis[:, None] / jnp.maximum(pdf, 1e-9)[:, None])
-        out = out + jnp.where(relevant[:, None], contrib, 0.0)
-    return out / jnp.float32(s_count), seed
+        contrib = f * lcol * (lint * vis / jnp.maximum(pdf, 1e-9))
+        out = out + v3.where(relevant, contrib, _zero3(n.x))
+    return out * (1.0 / jnp.float32(s_count)), seed
 
 
-def direct_lighting(scene: SceneData, accel, mat_rows, n, view, world_pos,
-                    config: RenderConfig, ray_mask=None, seed=None):
+def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
+                      view: V3, world_pos: V3, config: RenderConfig,
+                      ray_mask=None, seed=None, frame=None):
     """NEE over scene lights (ref: calculateColor,
     shaders/raytracing.slang:72-88): one shadow ray per light, or
     importance-sampled when config.light_samples > 0.
 
-    ray_mask (N,) bool: rays that actually hit a surface — dead rays get
-    t_max = -1 so the packet kernel retires them at the root (a whole
-    dead tile exits in one iteration).  Returns (color, seed)."""
+    The static light loop is unrolled; all L shadow batches trace in
+    ONE light-major kernel call (coherent packets: adjacent pixels
+    toward the same light).  ray_mask (N,): rays that actually hit a
+    surface — dead rays get t_max = -1 so the packet kernel retires
+    them at the root.  Returns (color V3, seed)."""
     num_lights = scene.lights.shape[0]
     if num_lights == 0:
-        return jnp.zeros(world_pos.shape, jnp.float32), seed
+        return _zero3(n.x), seed
     if (config.light_samples and seed is not None
             and num_lights > config.light_samples):
-        return _direct_sampled(scene, accel, mat_rows, n, view,
-                               world_pos, config, ray_mask, seed)
+        return _direct_sampled_p(scene, accel, mat, rows, n, view,
+                                 world_pos, config, ray_mask, seed,
+                                 frame)
+    if frame is None:
+        frame = v3.orthonormal_basis(n)
 
-    ldir, lcol, lint, unbounded = process_light(scene.lights, world_pos)
-    l = normalize(ldir)                               # (N, L, 3)
-    # One shading frame per ray, shared across all lights.
-    from .ops.math3d import orthonormal_basis
+    per_light = []
+    for i in range(num_lights):
+        ldir, lcol, lint, unb = process_light_one(scene.lights[i],
+                                                  world_pos)
+        l = v3.normalize(ldir)
+        f = _eval_brdf_p(config, mat, rows, n, view, l, frame)
+        # A shadow ray only matters when the BRDF can be nonzero and the
+        # light passes the intensity threshold (raytracing.slang:78-79).
+        ndotl = v3.dot(n, l)
+        relevant = (ndotl > 0.0) & (lint >= config.light_threshold)
+        if ray_mask is not None:
+            relevant = relevant & ray_mask
+        # Directional lights shadow to infinity (testShadow's TMax,
+        # ref: raytracing.slang:61); others to the light's distance.
+        reach = jnp.where(unb, INF, v3.length(ldir))
+        st = jnp.where(relevant, reach, -1.0)  # -1 = dead lane
+        contrib = f * lcol * lint
+        per_light.append((l, st, relevant, contrib))
 
-    t_f, b_f = orthonormal_basis(n)
-    frame = (t_f[:, None, :], b_f[:, None, :])
-    f = eval_brdf(config, mat_rows[:, None, :], n[:, None, :],
-                  view[:, None, :], l, frame=frame)
-
-    # A shadow ray only matters when the BRDF can be nonzero and the
-    # light passes the intensity threshold (raytracing.slang:78-79).
-    ndotl = jnp.sum(n[:, None, :] * l, -1)
-    relevant = (ndotl > 0.0) & (lint >= config.light_threshold)
-    if ray_mask is not None:
-        relevant = relevant & ray_mask[:, None]
-
-    # Shadow rays (ref: testShadow, raytracing.slang:56-70).  Flattened
-    # LIGHT-major so each traversal tile sees rays toward one light from
-    # adjacent pixels — much more coherent packets than ray-major.
+    # Shadow rays (ref: testShadow, raytracing.slang:56-70), flattened
+    # LIGHT-major in one trace call.
     shadow_o = world_pos + n * config.normal_offset
-    nrays = world_pos.shape[0]
-    so = jnp.broadcast_to(shadow_o[None, :, :],
-                          (num_lights, nrays, 3)).reshape(-1, 3)
-    sd = jnp.swapaxes(l, 0, 1).reshape(-1, 3)
-    # Directional lights shadow to infinity (testShadow's TMax,
-    # ref: raytracing.slang:61); others to the light's distance.
-    reach = jnp.where(unbounded, INF, length(ldir))
-    st = jnp.where(relevant, reach, -1.0)  # -1 = dead lane
-    st = jnp.swapaxes(st, 0, 1).reshape(-1)
-    occluded = trace_any(scene, accel, so, sd, config.t_min,
-                         st, config)
-    visible = 1.0 - jnp.swapaxes(
-        occluded.reshape(num_lights, nrays), 0, 1).astype(jnp.float32)
+    cat = jnp.concatenate
+    sd = V3(cat([p[0].x for p in per_light]),
+            cat([p[0].y for p in per_light]),
+            cat([p[0].z for p in per_light]))
+    so = shadow_o.map(lambda a: jnp.tile(a, num_lights))
+    st = cat([p[1] for p in per_light])
+    occluded = trace_any_p(scene, accel, so, sd, config.t_min, st,
+                           config)
 
-    contrib = f * lcol[None] * lint[..., None] * visible[..., None]
-    return jnp.sum(jnp.where(relevant[..., None], contrib, 0.0),
-                   axis=1), seed
+    nrays = n.x.shape[0]
+    out = _zero3(n.x)
+    for i, (_, _, relevant, contrib) in enumerate(per_light):
+        vis = 1.0 - occluded[i * nrays:(i + 1) * nrays].astype(
+            jnp.float32)
+        out = out + v3.where(relevant, contrib * vis, _zero3(n.x))
+    return out, seed
 
 
-def _refract(view, n, eta):
+def _refract_p(view: V3, n: V3, eta):
     """Snell refraction of the viewing direction about n (both unit,
-    n facing the viewer).  Returns (direction, total_internal_mask)."""
-    cos_i = dot(view, n)
+    n facing the viewer).  Returns (direction V3, total_internal_mask)."""
+    cos_i = v3.dot(view, n)
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t > 1.0
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    d = (-eta[..., None] * view
-         + (eta * cos_i - cos_t)[..., None] * n)
-    return normalize(d), tir
+    d = view * (-eta) + n * (eta * cos_i - cos_t)
+    return v3.normalize(d), tir
 
 
-def _sample_bounce(mat_rows, n, view, seed, entering):
+def _sample_bounce_p(mat: MatP, n: V3, view: V3, seed, entering, frame):
     """One-sample lobe selection: transmission (Snell + TIR), specular
     (GGX-VNDF), or diffuse (cosine) — enabling the sampler the reference
     ships disabled (ref: raytracing.slang:166-168, sampler.slang:44-51).
 
     `entering` — True where the ray hits the front face (sets eta).
-    Returns (direction, weight, seed, transmitted_mask)."""
+    Returns (direction V3, weight V3, seed, transmitted_mask)."""
     u0, u1, seed = rng.rand2(seed)
     usel, seed = rng.rand(seed)
-    metallic = mat_rows[:, M.METALLIC]
-    rough = jnp.maximum(mat_rows[:, M.ROUGHNESS], M.ROUGHNESS_MIN)
-    transmission = mat_rows[:, M.TRANSMISSION]
-    ior = jnp.maximum(mat_rows[:, M.IOR], 1.0001)
+    metallic = mat.metallic
+    rough = jnp.maximum(mat.roughness, M.ROUGHNESS_MIN)
+    transmission = mat.transmission
+    ior = jnp.maximum(mat.ior, 1.0001)
     p_spec = jnp.clip(metallic + 0.25 * (1.0 - rough), 0.0, 0.95)
 
-    d_spec, w_spec = sampling.ggx_vndf_spherical_cap(mat_rows, view, n, u0, u1)
-    local_diff, _ = sampling.cosine_hemisphere(u0, u1)
-    from .ops.math3d import to_world
+    d_spec, w_spec = sampling.ggx_vndf_spherical_cap_p(mat, view, n,
+                                                       u0, u1, frame)
+    local_diff, _ = sampling.cosine_hemisphere_p(u0, u1)
+    d_diff = v3.to_world(local_diff, n, frame)
 
-    d_diff = to_world(local_diff, n)
-
-    color = mat_rows[:, M.COLOR]
+    color = mat.color
     # Specular tint: metallic surfaces reflect their color; dielectric
     # specular is achromatic, scaled by Fresnel-ish schlick weight.
-    h = normalize(view + d_spec)
-    fres = schlick_weight(dot(d_spec, h))[..., None]
-    spec_col = (color + (1.0 - color) * fres) * metallic[:, None] + \
-        (0.04 + 0.96 * fres) * (1.0 - metallic[:, None])
-    diff_col = color * (1.0 - metallic[:, None])
+    h = v3.normalize(view + d_spec)
+    fres = schlick_weight(v3.dot(d_spec, h))
+    spec_col = ((color + (1.0 - color) * fres) * metallic
+                + (0.04 + 0.96 * fres) * (1.0 - metallic))
+    diff_col = color * (1.0 - metallic)
 
-    take_spec = (usel < p_spec)[:, None]
-    direction = jnp.where(take_spec, d_spec, d_diff)
-    p = jnp.where(usel < p_spec, jnp.maximum(p_spec, 1e-3),
-                  jnp.maximum(1.0 - p_spec, 1e-3))[:, None]
-    weight = jnp.where(take_spec, spec_col * w_spec[:, None], diff_col) / p
+    take_spec = usel < p_spec
+    direction = v3.where(take_spec, d_spec, d_diff)
+    p = jnp.where(take_spec, jnp.maximum(p_spec, 1e-3),
+                  jnp.maximum(1.0 - p_spec, 1e-3))
+    weight = v3.where(take_spec, spec_col * w_spec, diff_col) * (1.0 / p)
     # Kill invalid specular samples (below-horizon reflections).
-    weight = jnp.where(take_spec & (w_spec[:, None] <= 0.0), 0.0, weight)
+    weight = v3.where(take_spec & (w_spec <= 0.0), _zero3(usel), weight)
 
     # Transmission lobe (Whitted refraction): Fresnel-weighted choice
     # between refraction and mirror reflection; TIR always reflects.
     eta = jnp.where(entering, 1.0 / ior, ior)
-    d_refr, tir = _refract(view, n, eta)
-    cos_i = jnp.abs(dot(view, n))
-    f0 = square((1.0 - ior) / (1.0 + ior))
+    d_refr, tir = _refract_p(view, n, eta)
+    cos_i = jnp.abs(v3.dot(view, n))
+    f0 = ((1.0 - ior) / (1.0 + ior)) ** 2
     fr = f0 + (1.0 - f0) * schlick_weight(cos_i)  # Fresnel reflectance
     u_t, seed = rng.rand(seed)
     reflect_inst = tir | (u_t < fr)
-    d_mirr = normalize(2.0 * dot(view, n)[..., None] * n - view)
-    d_trans = jnp.where(reflect_inst[:, None], d_mirr, d_refr)
-    take_trans = (usel >= 0.0) & (transmission > 0.0)  # per-material
+    d_mirr = v3.normalize(n * (2.0 * v3.dot(view, n)) - view)
+    d_trans = v3.where(reflect_inst, d_mirr, d_refr)
+    take_trans = transmission > 0.0  # per-material
     u_tsel, seed = rng.rand(seed)
     take_trans = take_trans & (u_tsel < transmission)
     transmitted = take_trans & jnp.logical_not(reflect_inst)
 
-    direction = jnp.where(take_trans[:, None], d_trans, direction)
-    weight = jnp.where(take_trans[:, None], color, weight)
+    direction = v3.where(take_trans, d_trans, direction)
+    weight = v3.where(take_trans, color, weight)
     return direction, weight, seed, transmitted
 
 
-def trace_paths(scene: SceneData, accel, o, d, seeds,
+def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
                 config: RenderConfig, want_gbuffer: bool = False):
-    """Bounded bounce loop over a flat ray batch (N, 3).
+    """Bounded bounce loop over a planar ray batch (V3s of (N,) planes).
 
     Unrolled `max_depth` times (the reference's while loop with its
-    wavefront re-dispatch per TraceRay).  Returns radiance (N, 3), or
-    (radiance, gbuffer dict) when want_gbuffer — first-hit normal /
-    depth / albedo / world position feeding the SVGF denoiser.
+    wavefront re-dispatch per TraceRay).  Returns radiance V3, or
+    (radiance, gbuffer dict of arrays) when want_gbuffer — first-hit
+    normal / depth / albedo / world position feeding the SVGF denoiser.
     """
-    n = o.shape[0]
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    throughput = jnp.ones((n, 3), jnp.float32)
+    n = o.x.shape[0]
+    radiance = _zero3(o.x)
+    throughput = V3(*(jnp.ones((n,), jnp.float32),) * 3)
     active = jnp.ones((n,), bool)
     seed = seeds
     gbuffer = None
@@ -376,6 +461,7 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
     attr = _hit_attr_table(accel)
     use_sorted = (attr is not None
                   and config.traversal in ("bvh", "pallas", "auto"))
+    tab = attr if use_sorted else _scene_attr_table(scene)
 
     for depth in range(config.max_depth):
         # Retired rays trace with t_max = -1: the packet kernel drops
@@ -388,78 +474,82 @@ def trace_paths(scene: SceneData, accel, o, d, seeds,
             # whole trailing tiles retire instantly.
             from .ops import wavefront
 
-            okey = wavefront.direction_order_key(d)
+            okey = wavefront.direction_order_key_p(d)
             key = jnp.where(active, okey, jnp.float32(1e9))
             perm = jnp.argsort(key)
             inv = jnp.argsort(perm)
-            t, tri, u, v = trace_closest(
-                scene, accel, o[perm], d[perm], config.t_min,
+            t, tri, u, v = trace_closest_p(
+                scene, accel, o.map(lambda a: a[perm]),
+                d.map(lambda a: a[perm]), config.t_min,
                 t_max[perm], config, sorted_ids=use_sorted)
             t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
         else:
-            t, tri, u, v = trace_closest(
+            t, tri, u, v = trace_closest_p(
                 scene, accel, o, d, config.t_min, t_max, config,
                 sorted_ids=use_sorted)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,
         # ref: raytracing.slang:172-176).
-        sky_rad = eval_sky(scene.sky, d, enabled=config.sky)
-        radiance = radiance + jnp.where(
-            (active & ~hit)[:, None], throughput * sky_rad, 0.0)
+        sky_rad = eval_sky_p(scene.sky, d, enabled=config.sky)
+        radiance = radiance + v3.where(active & ~hit,
+                                       throughput * sky_rad,
+                                       _zero3(o.x))
 
-        if use_sorted:
-            nrm, uv, mat_rows = hit_attrs_sorted(attr, tri, u, v)
-        else:
-            nrm, uv, mat_id = interpolate_hit(scene, tri, u, v)
-            mat_rows = scene.materials[mat_id]
-        world_pos = o + t[:, None] * d
+        nrm, mat, rows = _shade_attrs_p(tab, tri, u, v)
+        world_pos = o + d * t
         view = -d  # toward viewer
         # Front-face test before the flip (drives refraction eta).
-        entering = dot(nrm, view) >= 0.0
+        entering = v3.dot(nrm, view) >= 0.0
         # Flip normal to face the viewer (ref: raytracing.slang:157-158).
-        nrm = jnp.where(entering[:, None], nrm, -nrm)
+        nrm = v3.where(entering, nrm, -nrm)
 
-        direct, seed = direct_lighting(scene, accel, mat_rows, nrm, view,
-                                       world_pos, config, ray_mask=hit,
-                                       seed=seed)
-        emissive = (mat_rows[:, M.EMISSIVE]
-                    * mat_rows[:, M.EMISSION_STRENGTH, None])
-        radiance = radiance + jnp.where(
-            hit[:, None], throughput * (direct + emissive), 0.0)
+        # One shading frame per ray, shared across lights and samplers.
+        frame = v3.orthonormal_basis(nrm)
+        direct, seed = direct_lighting_p(scene, accel, mat, rows, nrm,
+                                         view, world_pos, config,
+                                         ray_mask=hit, seed=seed,
+                                         frame=frame)
+        emissive = mat.emissive * mat.emission_strength
+        radiance = radiance + v3.where(hit,
+                                       throughput * (direct + emissive),
+                                       _zero3(o.x))
 
         if want_gbuffer and depth == 0:
+            zero = _zero3(o.x)
             gbuffer = {
-                "normal": jnp.where(hit[:, None], nrm, 0.0),
+                "normal": v3.where(hit, nrm, zero).to_array(),
                 "depth": jnp.where(hit, t, jnp.float32(0.0)),
-                "albedo": jnp.where(hit[:, None],
-                                    mat_rows[:, M.COLOR], 1.0),
-                "world_pos": jnp.where(hit[:, None], world_pos, 0.0),
+                "albedo": v3.where(hit, mat.color,
+                                   V3(*(jnp.ones((n,),
+                                                 jnp.float32),) * 3))
+                .to_array(),
+                "world_pos": v3.where(hit, world_pos, zero).to_array(),
                 "hit": hit.astype(jnp.float32),
             }
 
         if not config.indirect or depth + 1 == config.max_depth:
             break
 
-        new_d, weight, seed, transmitted = _sample_bounce(
-            mat_rows, nrm, view, seed, entering)
+        new_d, weight, seed, transmitted = _sample_bounce_p(
+            mat, nrm, view, seed, entering, frame)
         throughput = throughput * weight
-        side = jnp.where(transmitted[:, None], -1.0, 1.0)
-        o = world_pos + nrm * side * config.bounce_offset
+        side = jnp.where(transmitted, -1.0, 1.0)
+        o = world_pos + nrm * (side * config.bounce_offset)
         d = new_d
-        alive = jnp.max(throughput, axis=-1) > 1e-5
+        alive = v3.max_component(throughput) > 1e-5
         active = active & hit & alive
 
         if config.russian_roulette and depth + 1 >= config.rr_start_depth:
-            p_cont = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+            p_cont = jnp.clip(v3.max_component(throughput), 0.05, 0.95)
             u_rr, seed = rng.rand(seed)
             survive = u_rr < p_cont
-            throughput = throughput / p_cont[:, None]
+            throughput = throughput * (1.0 / p_cont)
             active = active & survive
 
         # Deactivated rays keep tracing harmlessly with throughput 0 —
         # static shapes, no compaction needed at this scale.
-        throughput = jnp.where(active[:, None], throughput, 0.0)
+        throughput = v3.where(active, throughput, _zero3(o.x))
 
     if want_gbuffer:
         if gbuffer is None:  # max_depth == 0 edge case
@@ -496,7 +586,7 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
         [:, None], (rows, w))
     seeds = rng.pixel_seed(px, py, frame)
 
-    acc = jnp.zeros((rows * w, 3), jnp.float32)
+    acc = _zero3(jnp.zeros((rows * w,), jnp.float32))
     for s in range(config.spp):
         seeds_s = seeds + jnp.uint32(s * 0x9E3779B9)
         if config.jitter:
@@ -504,19 +594,16 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
             jy, seeds_s = rng.rand(seeds_s)
             # frame 0 uses the pixel center (ref: raytracing.slang:97).
             is_f0 = frame == 0
-            jit = jnp.stack([jnp.where(is_f0, 0.5, jx),
-                             jnp.where(is_f0, 0.5, jy)], axis=-1)
+            jit = (jnp.where(is_f0, 0.5, jx), jnp.where(is_f0, 0.5, jy))
         else:
             jit = None
-        o, d = primary_rays(cam.origin, cam.basis, cam.tan_half_fovy,
-                            cam.aspect, w, config.height, jitter=jit,
-                            y0=y0, rows=rows)
-        o = o.reshape(-1, 3)
-        d = d.reshape(-1, 3)
+        o, d = primary_rays_p(cam.origin, cam.basis, cam.tan_half_fovy,
+                              cam.aspect, w, config.height, jitter=jit,
+                              y0=y0, rows=rows)
+        o = o.reshape(-1)
+        d = d.reshape(-1)
         seeds_flat = seeds_s.reshape(-1)
 
-        # Pixel-block reorder: each traversal tile then sees a compact
-        # image block, maximizing packet coherence (ops/wavefront.py).
         from .ops import traversal_pallas, wavefront
 
         bh = traversal_pallas.TILE_ROWS
@@ -530,7 +617,8 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
                    and rows % bh == 0 and w % bw == 0)
         if blocked:
             tob = lambda x: wavefront.to_blocks(x, rows, w, bh, bw)
-            o, d, seeds_flat = tob(o), tob(d), tob(seeds_flat)
+            o, d = o.map(tob), d.map(tob)
+            seeds_flat = tob(seeds_flat)
 
         take_gb = want_gbuffer and s == 0
         out = trace_paths(scene, accel, o, d, seeds_flat, config,
@@ -540,11 +628,12 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
             gbuffer = out[1]
         if blocked:
             unb = lambda x: wavefront.from_blocks(x, rows, w, bh, bw)
-            rad = unb(rad)
+            rad = rad.map(unb)
             if take_gb:
                 gbuffer = {k: unb(v) for k, v in gbuffer.items()}
         acc = acc + rad
-    img = (acc / jnp.float32(config.spp)).reshape(rows, w, 3)
+    img = (acc * (1.0 / jnp.float32(config.spp))).to_array() \
+        .reshape(rows, w, 3)
     if want_gbuffer:
         gbuffer = {
             k: v.reshape((rows, w) + v.shape[1:])
