@@ -46,7 +46,7 @@ def rays_per_frame(cfg, num_lights: int) -> int:
 def main() -> None:
     from hrt_tpu.config import RenderConfig
     from hrt_tpu.models.camera import Camera
-    from hrt_tpu.renderer import camera_arrays, render_frame
+    from hrt_tpu.renderer import camera_arrays, render_frames
 
     cfg = RenderConfig(width=512, height=384, max_depth=1, sky=True,
                        traversal="auto")
@@ -59,18 +59,23 @@ def main() -> None:
     accel = wide.build_wide_collapsed(
         lbvh.build_bvh_sah(scene, leaf_size=16))
 
+    # Frames-in-flight: k frames per dispatch (renderer.render_frames)
+    # amortizes the per-dispatch host round-trip (~30 ms through the
+    # axon tunnel), like the reference's PERFORMANCE_TEST_MODE
+    # uncapped-present loop (SwapChain.cpp:405-414).
+    iters = 32
+
     # Warmup / compile.
-    img = render_frame(scene, accel, cams, jnp.uint32(0), cfg)
+    img = render_frames(scene, accel, cams, jnp.uint32(0), iters, cfg)
     jax.block_until_ready(img)
 
     # Best-of-batches: the tunneled chip shows ~2x run-to-run clock
     # variance, so take the fastest of several short batches.
-    iters = 5
     dt = float("inf")
-    for _ in range(4):
+    for b in range(4):
         t0 = time.perf_counter()
-        for i in range(iters):
-            img = render_frame(scene, accel, cams, jnp.uint32(i), cfg)
+        img = render_frames(scene, accel, cams, jnp.uint32(b * iters),
+                            iters, cfg)
         jax.block_until_ready(img)
         dt = min(dt, (time.perf_counter() - t0) / iters)
 

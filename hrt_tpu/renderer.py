@@ -643,6 +643,29 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("config", "k"))
+def render_frames(scene: SceneData, accel, cam: CameraArrays,
+                  frame0: jnp.ndarray, k: int,
+                  config: RenderConfig) -> jnp.ndarray:
+    """Render k consecutive frames in ONE dispatch -> (k, H, W, 3).
+
+    The TPU analogue of the reference's frames-in-flight overlap
+    (MAX_FRAMES_IN_FLIGHT=2, ref: Graphics/vulkan_core/SwapChain.h:8,
+    SwapChain.cpp:45-131): device-side lax.scan amortizes the per-
+    dispatch host round-trip (measured ~5 ms through the axon tunnel)
+    over k frames.  Frame index feeds the per-pixel seed, so this is
+    the progressive-accumulation / animation hot loop."""
+    frame0 = jnp.asarray(frame0, jnp.uint32)
+
+    def step(carry, i):
+        img = render_rows(scene, accel, cam, frame0 + i, 0,
+                          config.height, config)
+        return carry, img
+
+    _, imgs = jax.lax.scan(step, 0, jnp.arange(k, dtype=jnp.uint32))
+    return imgs
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def render_frame(scene: SceneData, accel, cam: CameraArrays,
                  frame: jnp.ndarray, config: RenderConfig) -> jnp.ndarray:

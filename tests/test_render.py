@@ -123,3 +123,19 @@ def test_jit_cache_reuse():
     f1 = render_frame(sc, None, cams, jnp.uint32(0), cfg)
     f2 = render_frame(sc, None, cams, jnp.uint32(1), cfg)
     assert f1.shape == f2.shape
+
+
+def test_render_frames_matches_per_frame():
+    """render_frames (k frames per dispatch, the frames-in-flight
+    analogue) must produce exactly the per-frame results."""
+    from hrt_tpu.renderer import render_frames
+
+    cfg = RenderConfig(max_depth=1, **SMALL)
+    sc = demo_scene().build()
+    cams = camera_arrays(Camera(), cfg)
+    stack = render_frames(sc, None, cams, jnp.uint32(0), 3, cfg)
+    assert stack.shape == (3, cfg.height, cfg.width, 3)
+    for i in range(3):
+        one = render_frame(sc, None, cams, jnp.uint32(i), cfg)
+        np.testing.assert_allclose(np.asarray(stack[i]), np.asarray(one),
+                                   rtol=1e-6, atol=1e-6)
