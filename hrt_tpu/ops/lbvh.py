@@ -65,10 +65,17 @@ class FlatBVH(NamedTuple):
            tri_start+1); sublane 7 = bitcast i32 skip index.
     tris:  (Tp//128, 16, 128) f32 — sublanes 0:9 = v0xyz,e1xyz,e2xyz in
            leaf order (K-blocks never straddle a row); 9:16 padding.
+    nodes_oct: optional (8, Mp//128, 8, 128) — eight octant-ordered
+           DFS variants (near child first for rays traveling in that
+           direction octant); the packet kernel picks the table
+           matching each tile's dominant direction, which tightens
+           best_t sooner (closest) and finds occluders sooner
+           (shadows).  Same leaf pool; any DFS order is exact.
     """
 
     nodes: jnp.ndarray
     tris: jnp.ndarray
+    nodes_oct: jnp.ndarray | None = None
 
     @property
     def num_nodes_padded(self) -> int:
@@ -222,7 +229,8 @@ def _masked_scatter(dst, idx, val, mask):
     return dst.at[jnp.where(mask, idx, oob)].set(val, mode="drop")
 
 
-def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int) -> FlatBVH:
+def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
+                swap: jnp.ndarray | None = None) -> FlatBVH:
     """Linearize the Karras tree into DFS preorder with skip links.
 
     All on device: subtree sizes and preorder positions are computed by
@@ -246,23 +254,30 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int) -> FlatBVH:
     sz = jax.lax.fori_loop(0, _REFIT_DEPTH, size_sweep,
                            jnp.ones((ni,), I32))
 
-    # Top-down preorder positions.
-    lsize = subtree(sz, cl)
+    # Top-down preorder positions.  `swap` (Ni,) bool emits the right
+    # child first (octant-ordered variants); any order is exact, order
+    # only changes how early the walk tightens best_t.
+    if swap is None:
+        first, second = cl, cr
+    else:
+        first = jnp.where(swap, cr, cl)
+        second = jnp.where(swap, cl, cr)
+    fsize = subtree(sz, first)
 
     def pre_sweep(_, carry):
         pre_i, pre_l = carry
-        lpos = pre_i + 1
-        rpos = pre_i + 1 + lsize
+        fpos = pre_i + 1
+        spos = pre_i + 1 + fsize
         new_i = pre_i
         new_l = pre_l
-        new_i = _masked_scatter(new_i, jnp.clip(cl, 0, ni - 1), lpos,
-                                cl >= 0)
-        new_i = _masked_scatter(new_i, jnp.clip(cr, 0, ni - 1), rpos,
-                                cr >= 0)
-        new_l = _masked_scatter(new_l, jnp.clip(-(cl + 1), 0, nl - 1),
-                                lpos, cl < 0)
-        new_l = _masked_scatter(new_l, jnp.clip(-(cr + 1), 0, nl - 1),
-                                rpos, cr < 0)
+        new_i = _masked_scatter(new_i, jnp.clip(first, 0, ni - 1), fpos,
+                                first >= 0)
+        new_i = _masked_scatter(new_i, jnp.clip(second, 0, ni - 1), spos,
+                                second >= 0)
+        new_l = _masked_scatter(new_l, jnp.clip(-(first + 1), 0, nl - 1),
+                                fpos, first < 0)
+        new_l = _masked_scatter(new_l, jnp.clip(-(second + 1), 0, nl - 1),
+                                spos, second < 0)
         return new_i, new_l
 
     pre_i, pre_l = jax.lax.fori_loop(
@@ -313,6 +328,52 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int) -> FlatBVH:
         [tri_comps, jnp.zeros((7, t), jnp.float32)], axis=0)
     tris = jnp.reshape(tri_comps, (16, t // 128, 128)).transpose(1, 0, 2)
     return FlatBVH(nodes=nodes, tris=tris)
+
+
+# Octant-ordered tables are built while 8x the node table still fits
+# the kernel's VMEM node budget (traversal_pallas.MAX_NODE_F32).
+_OCT_BUDGET_F32 = 2_500_000
+
+
+def octant_swaps(bvh: BVH) -> jnp.ndarray:
+    """(8, Ni) bool: for direction octant o (bit0=+x, bit1=+y, bit2=+z),
+    True where the RIGHT child should be visited first.
+
+    Near-first heuristic: order children along the axis of largest
+    center separation, nearest along the octant's travel direction
+    first (the software analogue of the RT cores' ordered traversal)."""
+    c_l = (bvh.bmin_l + bvh.bmax_l) * 0.5
+    c_r = (bvh.bmin_r + bvh.bmax_r) * 0.5
+    delta = c_r - c_l                                   # (Ni, 3)
+    swaps = []
+    for o in range(8):
+        sx = 1.0 if o & 1 else -1.0
+        sy = 1.0 if o & 2 else -1.0
+        sz = 1.0 if o & 4 else -1.0
+        proj = sx * delta[:, 0] + sy * delta[:, 1] + sz * delta[:, 2]
+        swaps.append(proj < 0.0)  # right child nearer along travel dir
+    return jnp.stack(swaps)
+
+
+def flatten_bvh_full(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
+                     octants: bool | None = None) -> FlatBVH:
+    """flatten_bvh + optionally the eight octant-ordered node tables.
+
+    Octant tables are opt-in (HRT_OCT_BUILD=1 or octants=True): on the
+    bench scenes ordered traversal did NOT reduce packet visits (the
+    tile frustum, not visit order, sets them) — kept for depth-complex
+    scenes where front-to-back culling has something to cull."""
+    import os
+
+    flat = flatten_bvh(bvh, leaf_min, leaf_max, leaf_size)
+    if octants is None:
+        octants = bool(int(os.environ.get("HRT_OCT_BUILD", "0")))
+    if not octants or 8 * flat.nodes.size > _OCT_BUDGET_F32:
+        return flat
+    sw = octant_swaps(bvh)
+    tables = [flatten_bvh(bvh, leaf_min, leaf_max, leaf_size,
+                          swap=sw[o]).nodes for o in range(8)]
+    return flat._replace(nodes_oct=jnp.stack(tables))
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size",))
@@ -377,7 +438,8 @@ def build_bvh(scene: SceneData, leaf_size: int = 8,
         tri_v0=v0s, tri_e1=e1s, tri_e2=e2s,
         tri_perm=order.astype(I32),
     )
-    return Accel(tree=tree, flat=flatten_bvh(tree, lmin, lmax, leaf_size),
+    return Accel(tree=tree,
+                 flat=flatten_bvh_full(tree, lmin, lmax, leaf_size),
                  leaf_size=leaf_size,
                  attr=hit_attr_table(scene, order.astype(I32)))
 
@@ -430,7 +492,7 @@ def build_bvh_sah(scene: SceneData, leaf_size: int = 16,
         tri_v0=jnp.asarray(tri_v0), tri_e1=jnp.asarray(tri_e1),
         tri_e2=jnp.asarray(tri_e2), tri_perm=jnp.asarray(tri_perm),
     )
-    flat = flatten_bvh(tree, jnp.asarray(lmin), jnp.asarray(lmax),
-                       leaf_size)
+    flat = flatten_bvh_full(tree, jnp.asarray(lmin), jnp.asarray(lmax),
+                            leaf_size)
     return Accel(tree=tree, flat=flat, leaf_size=leaf_size,
                  attr=hit_attr_table(scene, jnp.asarray(tri_perm)))

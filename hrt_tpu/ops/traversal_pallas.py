@@ -44,11 +44,25 @@ TILE_LANES = 128
 WALKS = int(os.environ.get("HRT_WALKS", "1"))
 TILE = TILE_ROWS * TILE_LANES
 BLOCK_ROWS = TILE_ROWS * WALKS
-# Leaf-loop unroll factor: higher = faster steady-state, much slower
-# Mosaic compile (measured: 1 -> ~40 s, 4 -> ~8 min on the bench scene).
-LEAF_UNROLL = int(os.environ.get("HRT_LEAF_UNROLL", "4"))
+# Leaf-loop unroll factor: higher = faster steady-state (16 = full
+# unroll at the default leaf size, measured +7-8% over 4), slower
+# Mosaic compile — the persistent compilation cache amortizes it.
+LEAF_UNROLL = int(os.environ.get("HRT_LEAF_UNROLL", "16"))
 # Emit per-tile (visits, leaf_visits) counters (perf instrumentation).
 DEBUG_COUNTERS = bool(int(os.environ.get("HRT_DEBUG_COUNTERS", "0")))
+# Speculative successor prefetch: fetch BOTH candidate next rows
+# (cur+1 and skip) while the current node's slab/leaf math runs, then
+# select by the descend bit — takes the node fetch off the serial
+# fetch->decide chain at the cost of one extra row load per visit.
+# Measured flat on v5e (the walk is throughput-bound, not
+# latency-bound); kept as an opt-in experiment.
+SPEC = bool(int(os.environ.get("HRT_SPEC", "0")))
+# Octant-ordered traversal: when the accel carries the 8 near-first
+# DFS tables (FlatBVH.nodes_oct), each walk picks the table matching
+# its first ray's direction octant.  MEASURED NO WIN on the bench
+# scenes (packet visits are set by the tile frustum, not visit order:
+# 71.2 -> 72.5 visits/tile) — opt-in for depth-complex scenes.
+OCT = bool(int(os.environ.get("HRT_OCT", "0")))
 INF = jnp.float32(1e32)
 # VMEM budgets (f32 words).  Small scenes keep node + triangle tables
 # resident in VMEM; larger ones keep only nodes resident and DMA leaf
@@ -97,14 +111,12 @@ def _record_extract(rec, lane):
     return jnp.sum(jnp.where(mask, rec, 0.0), axis=2, keepdims=True)
 
 
-def _node_fetch(nodes_ref, cur):
-    """Fetch one flat-BVH node record: ONE row load + ONE f32 reduce
-    for the box + ONE i32 reduce for the two bit-carried controls
-    (bitcast BEFORE reducing — summing the raw bits as f32 would flush
+def _node_decode(rec, cur):
+    """Decode one node from its already-loaded row: ONE f32 reduce for
+    the box + ONE i32 reduce for the two bit-carried controls (bitcast
+    BEFORE reducing — summing the raw bits as f32 would flush
     small-integer denormal patterns to zero)."""
-    row = cur // TILE_LANES
     lane = cur % TILE_LANES
-    rec = nodes_ref[pl.ds(row, 1)]                    # (1, 8, 128)
     r = _record_extract(rec, lane)                    # (1, 8, 1)
     box = [r[:, c, :] for c in range(6)]
     mask = jax.lax.broadcasted_iota(jnp.int32, (1, 2, TILE_LANES),
@@ -115,6 +127,21 @@ def _node_fetch(nodes_ref, cur):
     leaf_code = jnp.sum(meta[:, 0, :])
     skip = jnp.sum(meta[:, 1, :])
     return box, leaf_code, skip
+
+
+def _row_fetcher(nodes_ref, m_real, oct=None):
+    """Returns fetch(cur) -> (1, 8, 128) record row of node `cur`
+    (index clamped the same way _node_decode clamps, so row and lane
+    stay consistent).  With `oct`, indexes the (8, rows, 8, 128)
+    octant-ordered table stack."""
+
+    def fetch(cur):
+        row = jnp.minimum(cur, m_real - 1) // TILE_LANES
+        if oct is None:
+            return nodes_ref[pl.ds(row, 1)]
+        return nodes_ref[oct, pl.ds(row, 1)]
+
+    return fetch
 
 
 def _leaf_fetch(tris_ref, start, scratch=None, sem=None):
@@ -184,7 +211,7 @@ def _moller(tri, ox, oy, oz, dx, dy, dz, t_min, t_limit):
 
 def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                  find_closest: bool, walks: int = WALKS,
-                 tris_in_vmem: bool = True):
+                 tris_in_vmem: bool = True, octant: bool = False):
     rows = TILE_ROWS
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
@@ -202,8 +229,12 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                              jnp.where(c < 0, -tiny, tiny), c)
             return 1.0 / safe
 
-        # Per-walk ray planes (static row slices of the block).
+        # Per-walk ray planes (static row slices of the block) + the
+        # walk's node-row fetcher (octant mode: table picked by the
+        # first ray's direction octant — packets are coherent, so one
+        # representative is enough; a wrong pick only costs order).
         rays = []
+        fetchers = []
         for g in range(walks):
             s = slice(g * rows, (g + 1) * rows)
             ox, oy, oz = ox_ref[s, :], oy_ref[s, :], oz_ref[s, :]
@@ -211,22 +242,38 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             ix, iy, iz = inv(dx), inv(dy), inv(dz)
             rays.append((ox * ix, oy * iy, oz * iz, ix, iy, iz,
                          ox, oy, oz, dx, dy, dz))
+            if octant:
+                oct = ((_lane_scalar(dx[0:1, :], 0) > 0)
+                       .astype(jnp.int32)
+                       + 2 * (_lane_scalar(dy[0:1, :], 0) > 0)
+                       .astype(jnp.int32)
+                       + 4 * (_lane_scalar(dz[0:1, :], 0) > 0)
+                       .astype(jnp.int32))
+                fetchers.append(_row_fetcher(nodes_ref, m_real, oct))
+            else:
+                fetchers.append(_row_fetcher(nodes_ref, m_real))
 
         def walk_state(g):
             s = slice(g * rows, (g + 1) * rows)
-            return (jnp.int32(0), tmax_ref[s, :],
-                    jnp.full((rows, TILE_LANES), -1, jnp.int32),
-                    jnp.zeros((rows, TILE_LANES), jnp.float32),
-                    jnp.zeros((rows, TILE_LANES), jnp.float32),
-                    jnp.int32(0), jnp.int32(0))  # visit/leaf counters
+            st = (jnp.int32(0), tmax_ref[s, :],
+                  jnp.full((rows, TILE_LANES), -1, jnp.int32),
+                  jnp.zeros((rows, TILE_LANES), jnp.float32),
+                  jnp.zeros((rows, TILE_LANES), jnp.float32),
+                  jnp.int32(0), jnp.int32(0),  # visit/leaf counters
+                  jnp.zeros((), bool))         # all-occluded (shadow)
+            if SPEC:
+                st = st + (fetchers[g](jnp.int32(0)),)
+            return st
 
         def walk_active(st):
             cur = st[0]
             if find_closest:
                 return cur < m_real
-            # shadow mode: stop early once every lane is occluded
-            return (cur < m_real) & jnp.logical_not(
-                jnp.all(st[2] >= 0))
+            # shadow mode: stop early once every lane is occluded.
+            # The flag is refreshed only inside leaf processing (the
+            # only place best_i changes) — a carried scalar instead of
+            # a full-tile reduction every iteration.
+            return (cur < m_real) & jnp.logical_not(st[7])
 
         def cond(states):
             alive = walk_active(states[0])
@@ -234,19 +281,32 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                 alive = alive | walk_active(states[g])
             return alive
 
-        def step_walk(st, ray):
-            cur, best_t, best_i, bu, bv, n_vis, n_leaf = st
+        def step_walk(st, ray, fetch):
+            if SPEC:
+                (cur, best_t, best_i, bu, bv, n_vis, n_leaf, done,
+                 rec) = st
+            else:
+                cur, best_t, best_i, bu, bv, n_vis, n_leaf, done = st
             active = walk_active(st)
             oix, oiy, oiz, ix, iy, iz, ox, oy, oz, dx, dy, dz = ray
-            box, leaf_code, skip = _node_fetch(
-                nodes_ref, jnp.minimum(cur, m_real - 1))
+            if SPEC:
+                box, leaf_code, skip = _node_decode(
+                    rec, jnp.minimum(cur, m_real - 1))
+                # Prefetch BOTH successor rows now — they overlap with
+                # the slab/leaf vector work below; the scalar decision
+                # only selects between loaded registers.
+                rec_n = fetch(cur + 1)
+                rec_s = fetch(skip)
+            else:
+                box, leaf_code, skip = _node_decode(
+                    fetch(cur), jnp.minimum(cur, m_real - 1))
             hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin,
                              best_t)
             any_hit = jnp.any(hit) & active
             is_leaf = leaf_code > 0
 
             def do_leaf(args):
-                best_t, best_i, bu, bv = args
+                best_t, best_i, bu, bv, done = args
                 start = leaf_code - 1
                 lane0 = start % TILE_LANES
                 if tris_in_vmem:
@@ -276,39 +336,49 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                             best_t = jnp.where(h, t, best_t)
                     return best_t, best_i, bu, bv
 
-                return jax.lax.fori_loop(0, leaf_size // unroll,
-                                         tri_body,
-                                         (best_t, best_i, bu, bv))
+                best_t, best_i, bu, bv = jax.lax.fori_loop(
+                    0, leaf_size // unroll, tri_body,
+                    (best_t, best_i, bu, bv))
+                if not find_closest:
+                    # Shadow mode: retire occluded lanes (t_limit = -1
+                    # fails every slab test) so the packet stops
+                    # descending into nodes only already-occluded lanes
+                    # would enter — the per-lane
+                    # ACCEPT_FIRST_HIT_AND_END_SEARCH analogue
+                    # (ref: raytracing.slang:67) — and refresh the
+                    # all-occluded early-exit flag.
+                    occ = best_i >= 0
+                    best_t = jnp.where(occ, jnp.float32(-1.0), best_t)
+                    done = jnp.all(occ)
+                return best_t, best_i, bu, bv, done
 
             take_leaf = any_hit & is_leaf
-            best_t, best_i, bu, bv = jax.lax.cond(
+            best_t, best_i, bu, bv, done = jax.lax.cond(
                 take_leaf, do_leaf, lambda a: a,
-                (best_t, best_i, bu, bv))
-            if not find_closest:
-                # Shadow mode: retire occluded lanes (t_limit = -1 fails
-                # every slab test), so the packet stops descending into
-                # nodes only already-occluded lanes would enter — the
-                # per-lane ACCEPT_FIRST_HIT_AND_END_SEARCH analogue
-                # (ref: raytracing.slang:67).
-                best_t = jnp.where(best_i >= 0, jnp.float32(-1.0),
-                                   best_t)
+                (best_t, best_i, bu, bv, done))
 
             descend = any_hit & jnp.logical_not(is_leaf)
             nxt = jnp.where(descend, cur + 1, skip)
-            cur = jnp.where(active, nxt, cur)
             n_vis = n_vis + active.astype(jnp.int32)
             n_leaf = n_leaf + take_leaf.astype(jnp.int32)
-            return cur, best_t, best_i, bu, bv, n_vis, n_leaf
+            if SPEC:
+                rec_nxt = jnp.where(descend, rec_n, rec_s)
+                rec = jnp.where(active, rec_nxt, rec)
+                cur = jnp.where(active, nxt, cur)
+                return (cur, best_t, best_i, bu, bv, n_vis, n_leaf,
+                        done, rec)
+            cur = jnp.where(active, nxt, cur)
+            return cur, best_t, best_i, bu, bv, n_vis, n_leaf, done
 
         def body(states):
-            return tuple(step_walk(states[g], rays[g])
+            return tuple(step_walk(states[g], rays[g], fetchers[g])
                          for g in range(walks))
 
         states = tuple(walk_state(g) for g in range(walks))
         states = jax.lax.while_loop(cond, body, states)
         for g in range(walks):
             s = slice(g * rows, (g + 1) * rows)
-            _, best_t, best_i, bu, bv, n_vis, n_leaf = states[g]
+            _, best_t, best_i, bu, bv, n_vis, n_leaf = states[g][:7]
             t_ref[s, :] = best_t
             tri_ref[s, :] = best_i
             u_ref[s, :] = bu
@@ -335,7 +405,8 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
     n_tiles = rows // BLOCK_ROWS
     tris_in_vmem = (flat_nodes.size + flat_tris.size) <= MAX_VMEM_F32
     kernel = _make_kernel(m_real, leaf_size, t_min, find_closest,
-                          tris_in_vmem=tris_in_vmem)
+                          tris_in_vmem=tris_in_vmem,
+                          octant=flat_nodes.ndim == 4)
 
     ray_spec = pl.BlockSpec((BLOCK_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -393,8 +464,11 @@ def _run_planes(scene, accel, ox, oy, oz, dx, dy, dz, t_min, t_max,
              _to_tiles(oz, n_pad), _to_tiles(dx, n_pad),
              _to_tiles(dy, n_pad), _to_tiles(dz, n_pad),
              _to_tiles(tmax, n_pad, fill=-1.0)]  # padded rays hit nothing
+    nodes = flat.nodes
+    if OCT and flat.nodes_oct is not None:
+        nodes = flat.nodes_oct
     t, tri, u, v = _trace_tiles(
-        *comps, flat.nodes, flat.tris,
+        *comps, nodes, flat.tris,
         m_real=m_real, leaf_size=leaf_size, t_min=float(t_min),
         find_closest=find_closest)[:4]
     flat_out = lambda a: a.reshape(-1)[:n]
