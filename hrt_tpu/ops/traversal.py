@@ -128,9 +128,11 @@ def _unwrap(accel):
 
 import os as _os
 
-# The BVH8 kernel is exact in interpret mode but MISCOMPILES under
-# Mosaic on real TPU (returns all-misses; root expansion mask comes
-# back 0) — opt-in until that is root-caused (ROADMAP #1).
+# The BVH8 kernel is EXACT on real TPU (the round-1 all-misses bug was
+# a denormal-flush of i32 metadata carried in f32 lanes, fixed by
+# bitcast-before-reduce) but measured ~1.5x SLOWER than the packet
+# kernel on the bench scenes (round 2: 60 vs 40 ms incl dispatch), so
+# it stays an opt-in experiment.
 _WIDE_ENABLED = bool(int(_os.environ.get("HRT_WIDE", "0")))
 
 

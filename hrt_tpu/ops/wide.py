@@ -24,14 +24,15 @@ STATUS: experimental, OFF by default on TPU (HRT_WIDE=1 to enable).
 Two builders exist: the implicit equal-count tree (poor box quality on
 big scenes — splits don't align with Morton bit boundaries) and the
 Karras-aligned collapse below (build_wide_collapsed, good trees).
-Both are exact under interpret mode and cross-checked against the
-oracle, but the masked-stack kernel MISCOMPILES under Mosaic on real
-v5e: the root expansion bitmask comes back 0 and every ray misses
-(discovered because the "4.2x speedup" run was returning all-misses
-fast — always validate outputs alongside timings).  Root-causing the
-Mosaic issue (likely SMEM read-after-write ordering in the while body,
-or the predicated lax.cond interplay — clamps already added for the
-predicated-branch OOB it exposed) is ROADMAP item 1.
+The kernel is EXACT on real v5e (verified round 2: bit-identical hit
+sets vs the packet kernel on the bench scene).  The round-1
+"MISCOMPILES / all-misses" episode was i32 node metadata carried in
+f32 lanes being denormal-flushed by an f32 reduce — fixed by
+bitcasting to i32 BEFORE reducing (see traversal_pallas._node_decode
+for the same rule).  It remains gated off because it LOSES to the
+packet kernel (~1.5x slower on the bench scenes — the masked stack
+pays more per-visit machinery than the skip-link walk saves in
+visits); re-evaluate on scenes with much higher depth complexity.
 """
 from __future__ import annotations
 
