@@ -355,6 +355,21 @@ def octant_swaps(bvh: BVH) -> jnp.ndarray:
     return jnp.stack(swaps)
 
 
+@functools.partial(jax.jit, static_argnames=("leaf_size", "octants"))
+def _flatten_full_jit(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
+                      octants: bool) -> FlatBVH:
+    """Jitted flatten (+ octant tables): one XLA program instead of
+    hundreds of eager dispatches — through the axon tunnel the eager
+    path measured minutes per build, the jitted one milliseconds."""
+    flat = flatten_bvh(bvh, leaf_min, leaf_max, leaf_size)
+    if not octants:
+        return flat
+    sw = octant_swaps(bvh)
+    tables = [flatten_bvh(bvh, leaf_min, leaf_max, leaf_size,
+                          swap=sw[o]).nodes for o in range(8)]
+    return flat._replace(nodes_oct=jnp.stack(tables))
+
+
 def flatten_bvh_full(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
                      octants: bool | None = None) -> FlatBVH:
     """flatten_bvh + optionally the eight octant-ordered node tables.
@@ -365,15 +380,13 @@ def flatten_bvh_full(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
     scenes where front-to-back culling has something to cull."""
     import os
 
-    flat = flatten_bvh(bvh, leaf_min, leaf_max, leaf_size)
     if octants is None:
         octants = bool(int(os.environ.get("HRT_OCT_BUILD", "0")))
-    if not octants or 8 * flat.nodes.size > _OCT_BUDGET_F32:
-        return flat
-    sw = octant_swaps(bvh)
-    tables = [flatten_bvh(bvh, leaf_min, leaf_max, leaf_size,
-                          swap=sw[o]).nodes for o in range(8)]
-    return flat._replace(nodes_oct=jnp.stack(tables))
+    mp = bvh.child_l.shape[0] * 2 + 1  # node table f32 budget check
+    if octants and 8 * ((mp + 127) // 128 * 128) * 8 > _OCT_BUDGET_F32:
+        octants = False
+    return _flatten_full_jit(bvh, jnp.asarray(leaf_min),
+                             jnp.asarray(leaf_max), leaf_size, octants)
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size",))

@@ -66,10 +66,13 @@ OCT = bool(int(os.environ.get("HRT_OCT", "0")))
 INF = jnp.float32(1e32)
 # VMEM budgets (f32 words).  Small scenes keep node + triangle tables
 # resident in VMEM; larger ones keep only nodes resident and DMA leaf
-# triangle blocks from HBM on demand; beyond the node budget the jnp
-# stack traversal takes over (nodes streaming: ROADMAP item 6).
+# triangle blocks from HBM on demand; beyond the node budget the node
+# table ALSO stays in HBM and rows are streamed through a per-walk
+# one-row VMEM cache (the skip-link walk visits strictly increasing
+# node ids, so row reuse is high) — every scene size stays on the
+# packet kernel.
 MAX_VMEM_F32 = int(os.environ.get("HRT_MAX_VMEM_F32", "3000000"))
-MAX_NODE_F32 = 2_500_000
+MAX_NODE_F32 = int(os.environ.get("HRT_MAX_NODE_F32", "2500000"))
 
 
 def available() -> bool:
@@ -81,6 +84,9 @@ def _tris_fit_vmem(flat) -> bool:
 
 
 def _vmem_ok(flat) -> bool:
+    """True when the node table is VMEM-resident (not streamed).  No
+    longer gates a fallback here (nodes stream from HBM past the
+    budget); still used by traversal_wide's VMEM-only kernel."""
     return flat.nodes.size <= MAX_NODE_F32
 
 
@@ -140,6 +146,30 @@ def _row_fetcher(nodes_ref, m_real, oct=None):
         if oct is None:
             return nodes_ref[pl.ds(row, 1)]
         return nodes_ref[oct, pl.ds(row, 1)]
+
+    return fetch
+
+
+def _row_fetcher_stream(nodes_ref, m_real, g, scratch, sems, cache):
+    """fetch(cur) for the node-streaming (big-scene) mode: the node
+    table lives in HBM; walk g holds ONE row (128 nodes) in a VMEM
+    cache slot and DMAs on row change.  The skip-link walk visits
+    strictly increasing node ids, so most visits hit the cached row.
+    cache (SMEM, per walk) holds the resident row id, -1 = empty."""
+
+    def fetch(cur):
+        row = jnp.minimum(cur, m_real - 1) // TILE_LANES
+
+        @pl.when(row != cache[g])
+        def _():
+            dma = pltpu.make_async_copy(
+                nodes_ref.at[pl.ds(row, 1)],
+                scratch.at[pl.ds(g, 1)], sems.at[g])
+            dma.start()
+            dma.wait()
+            cache[g] = row
+
+        return scratch[pl.ds(g, 1)]
 
     return fetch
 
@@ -211,16 +241,23 @@ def _moller(tri, ox, oy, oz, dx, dy, dz, t_min, t_limit):
 
 def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                  find_closest: bool, walks: int = WALKS,
-                 tris_in_vmem: bool = True, octant: bool = False):
+                 tris_in_vmem: bool = True, octant: bool = False,
+                 nodes_in_vmem: bool = True):
     rows = TILE_ROWS
+    assert nodes_in_vmem or not octant, \
+        "octant tables are VMEM-budget-gated at build time"
+    # Speculative dual-fetch would thrash the one-row stream cache.
+    spec = SPEC and nodes_in_vmem
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                nodes_ref, tris_ref,
                t_ref, tri_ref, u_ref, v_ref, *rest):
         if DEBUG_COUNTERS:
-            cnt_ref, *scratch = rest
-        else:
-            scratch = rest
+            cnt_ref, *rest = rest
+        rest = list(rest)
+        scratch = [rest.pop(0), rest.pop(0)] if not tris_in_vmem else []
+        if not nodes_in_vmem:
+            node_buf, node_sems, node_cache = rest
         tiny = jnp.float32(1e-20)
         tmin = jnp.float32(t_min)
 
@@ -250,8 +287,13 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                        + 4 * (_lane_scalar(dz[0:1, :], 0) > 0)
                        .astype(jnp.int32))
                 fetchers.append(_row_fetcher(nodes_ref, m_real, oct))
-            else:
+            elif nodes_in_vmem:
                 fetchers.append(_row_fetcher(nodes_ref, m_real))
+            else:
+                node_cache[g] = jnp.int32(-1)  # empty cache slot
+                fetchers.append(_row_fetcher_stream(
+                    nodes_ref, m_real, g, node_buf, node_sems,
+                    node_cache))
 
         def walk_state(g):
             s = slice(g * rows, (g + 1) * rows)
@@ -261,7 +303,7 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                   jnp.zeros((rows, TILE_LANES), jnp.float32),
                   jnp.int32(0), jnp.int32(0),  # visit/leaf counters
                   jnp.zeros((), bool))         # all-occluded (shadow)
-            if SPEC:
+            if spec:
                 st = st + (fetchers[g](jnp.int32(0)),)
             return st
 
@@ -282,14 +324,14 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             return alive
 
         def step_walk(st, ray, fetch):
-            if SPEC:
+            if spec:
                 (cur, best_t, best_i, bu, bv, n_vis, n_leaf, done,
                  rec) = st
             else:
                 cur, best_t, best_i, bu, bv, n_vis, n_leaf, done = st
             active = walk_active(st)
             oix, oiy, oiz, ix, iy, iz, ox, oy, oz, dx, dy, dz = ray
-            if SPEC:
+            if spec:
                 box, leaf_code, skip = _node_decode(
                     rec, jnp.minimum(cur, m_real - 1))
                 # Prefetch BOTH successor rows now — they overlap with
@@ -361,7 +403,7 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             nxt = jnp.where(descend, cur + 1, skip)
             n_vis = n_vis + active.astype(jnp.int32)
             n_leaf = n_leaf + take_leaf.astype(jnp.int32)
-            if SPEC:
+            if spec:
                 rec_nxt = jnp.where(descend, rec_n, rec_s)
                 rec = jnp.where(active, rec_nxt, rec)
                 cur = jnp.where(active, nxt, cur)
@@ -403,20 +445,30 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
     [8i, 8i+8).  Returns (t, tri, u, v) in the same layout."""
     rows = ox.shape[0]
     n_tiles = rows // BLOCK_ROWS
-    tris_in_vmem = (flat_nodes.size + flat_tris.size) <= MAX_VMEM_F32
+    nodes_in_vmem = flat_nodes.size <= MAX_NODE_F32
+    tris_in_vmem = ((flat_nodes.size if nodes_in_vmem else 0)
+                    + flat_tris.size) <= MAX_VMEM_F32
     kernel = _make_kernel(m_real, leaf_size, t_min, find_closest,
                           tris_in_vmem=tris_in_vmem,
-                          octant=flat_nodes.ndim == 4)
+                          octant=flat_nodes.ndim == 4,
+                          nodes_in_vmem=nodes_in_vmem)
 
     ray_spec = pl.BlockSpec((BLOCK_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    tri_spec = vmem_spec if tris_in_vmem else pl.BlockSpec(
-        memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    node_spec = vmem_spec if nodes_in_vmem else any_spec
+    tri_spec = vmem_spec if tris_in_vmem else any_spec
     scratch_shapes = [] if tris_in_vmem else [
         pltpu.VMEM((1, 16, TILE_LANES), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
+    if not nodes_in_vmem:
+        scratch_shapes += [
+            pltpu.VMEM((WALKS, 8, TILE_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((WALKS,)),
+            pltpu.SMEM((WALKS,), jnp.int32),
+        ]
     n_out = 5 if DEBUG_COUNTERS else 4
     out_shape = [
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
@@ -430,7 +482,7 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[ray_spec] * 7 + [vmem_spec, tri_spec],
+        in_specs=[ray_spec] * 7 + [node_spec, tri_spec],
         out_specs=[ray_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
@@ -484,12 +536,6 @@ def _run(scene, accel, o, d, t_min, t_max, find_closest: bool):
 def closest_hit_p(scene, accel, o, d, t_min, t_max,
                   sorted_ids: bool = False):
     """Planar closest_hit: o/d are V3s of (N,) planes (ops/v3.py)."""
-    if not _vmem_ok(accel.flat):
-        from . import traversal
-
-        return traversal.closest_hit_bvh(
-            scene, accel, o.to_array(), d.to_array(), t_min, t_max,
-            use_pallas=False, sorted_ids=sorted_ids)
     t, tri_sorted, u, v = _run_planes(scene, accel, o.x, o.y, o.z,
                                       d.x, d.y, d.z, t_min, t_max, True)
     if sorted_ids:
@@ -501,12 +547,6 @@ def closest_hit_p(scene, accel, o, d, t_min, t_max,
 
 def any_hit_p(scene, accel, o, d, t_min, t_max):
     """Planar occlusion query (V3 in, bool (N,) out)."""
-    if not _vmem_ok(accel.flat):
-        from . import traversal
-
-        return traversal.any_hit_bvh(scene, accel, o.to_array(),
-                                     d.to_array(), t_min, t_max,
-                                     use_pallas=False)
     _, tri_sorted, _, _ = _run_planes(scene, accel, o.x, o.y, o.z,
                                       d.x, d.y, d.z, t_min, t_max,
                                       False)
@@ -518,12 +558,6 @@ def closest_hit(scene, accel, o, d, t_min, t_max, sorted_ids: bool = False):
 
     sorted_ids=True returns leaf-pool (BVH-sorted) triangle ids and
     skips the tri_perm remap gather — pair with Accel.attr shading."""
-    if not _vmem_ok(accel.flat):
-        from . import traversal
-
-        return traversal.closest_hit_bvh(scene, accel, o, d, t_min, t_max,
-                                         use_pallas=False,
-                                         sorted_ids=sorted_ids)
     t, tri_sorted, u, v = _run(scene, accel, o, d, t_min, t_max, True)
     if sorted_ids:
         return t, tri_sorted, u, v
@@ -534,10 +568,5 @@ def closest_hit(scene, accel, o, d, t_min, t_max, sorted_ids: bool = False):
 
 def any_hit(scene, accel, o, d, t_min, t_max):
     """Occlusion query (shadow rays): bool (N,)."""
-    if not _vmem_ok(accel.flat):
-        from . import traversal
-
-        return traversal.any_hit_bvh(scene, accel, o, d, t_min, t_max,
-                                     use_pallas=False)
     _, tri_sorted, _, _ = _run(scene, accel, o, d, t_min, t_max, False)
     return tri_sorted >= 0
