@@ -79,6 +79,9 @@ def main(argv=None) -> None:
                     help="npz frame-loop state to resume/save")
     ap.add_argument("--debug-nans", action="store_true",
                     help="enable jax_debug_nans (numeric race detector)")
+    ap.add_argument("--two-level", action="store_true",
+                    help="BLAS-per-mesh + TLAS traversal (instanced/"
+                         "animated scenes; ref: Scene.cpp:163-254)")
     args = ap.parse_args(argv)
 
     if args.debug_nans:
@@ -107,7 +110,8 @@ def main(argv=None) -> None:
         up_params = load_params(args.upscaler_ckpt, fresh.params)
     loop = FrameLoop(scene_obj, cfg,
                      upscaler_params=up_params,
-                     cull_threshold_px=1.0 if args.frames > 1 else 0.0)
+                     cull_threshold_px=1.0 if args.frames > 1 else 0.0,
+                     two_level=args.two_level)
     scene = loop.scene
     if args.checkpoint and os.path.exists(args.checkpoint):
         loop.load_state(args.checkpoint)

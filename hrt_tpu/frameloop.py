@@ -73,6 +73,7 @@ class FrameLoop:
     config: RenderConfig
     upscaler_params: Optional[Any] = None
     cull_threshold_px: float = 1.0
+    two_level: bool = False
 
     def __post_init__(self):
         cfg = self.config
@@ -82,12 +83,24 @@ class FrameLoop:
         self.leaf_size = 16
         self.visible = jnp.ones(
             (self.scene.inst_bmin.shape[0],), bool)
-        # Static scenes get the high-quality native SAH tree; culling
-        # rebuilds use the fast on-device LBVH.  Both are wrapped into
-        # the collapsed BVH8 (ops/wide.py) — the fastest traversal path.
-        self.accel = (self._wrap_wide(
-            lbvh.build_bvh_sah(self.scene, self.leaf_size))
-            if cfg.traversal != "bruteforce" else None)
+        if self.two_level:
+            # BLAS-per-mesh + TLAS (the reference's Scene::build split,
+            # Scene.cpp:163-254): instance transforms refit per frame
+            # without any BLAS rebuild (set_instance_transform).
+            if not isinstance(self.scene_obj, Scene):
+                raise ValueError("two_level needs the authoring Scene")
+            from .ops import tlas
+
+            self.accel = tlas.build_two_level_flat(self.scene_obj,
+                                                   self.leaf_size)
+        else:
+            # Static scenes get the high-quality native SAH tree;
+            # culling rebuilds use the fast on-device LBVH.  Both are
+            # wrapped into the collapsed BVH8 (ops/wide.py) — the
+            # fastest traversal path.
+            self.accel = (self._wrap_wide(
+                lbvh.build_bvh_sah(self.scene, self.leaf_size))
+                if cfg.traversal != "bruteforce" else None)
         self.dn_state = denoise.init_state(cfg.height, cfg.width)
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         self.frame = 0
@@ -112,8 +125,31 @@ class FrameLoop:
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         self.frame = 0
 
+    def set_instance_transform(self, idx: int, position=None,
+                               rotation=None, scale=None) -> None:
+        """Animate one instance (two-level mode): update its TRS and
+        refit the TLAS on device — no BLAS rebuild (ref: the TLAS
+        UPDATE path the reference's PREFER_FAST_TRACE build implies)."""
+        if not self.two_level:
+            raise ValueError("instance animation needs two_level=True")
+        from .models.instance import MeshInstance
+        from .ops import tlas
+
+        cur = self.scene_obj.instances[idx]
+        self.scene_obj.instances[idx] = MeshInstance(
+            cur.mesh_id, cur.material_id,
+            tuple(position) if position is not None else cur.position,
+            tuple(rotation) if rotation is not None else cur.rotation,
+            tuple(scale) if scale is not None else cur.scale)
+        insts = self.scene_obj.instances
+        w = jnp.asarray(np.stack([i.transform for i in insts]))
+        ow = jnp.asarray(np.stack([i.inverse_transform for i in insts]))
+        nm = jnp.asarray(np.stack([i.normal_matrix for i in insts]))
+        self.accel = tlas.refit_two_level(self.accel, w, ow, nm)
+
     def _maybe_cull(self, cams: CameraArrays):
-        if self.accel is None or self.cull_threshold_px <= 0:
+        if (self.accel is None or self.cull_threshold_px <= 0
+                or self.two_level):
             return
         new_vis = culling.cull_instances(
             self.visible, self.scene.inst_bmin, self.scene.inst_bmax,

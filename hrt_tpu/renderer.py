@@ -144,6 +144,10 @@ def trace_any(scene: SceneData, accel, o, d, t_min, t_max,
 def trace_any_p(scene: SceneData, accel, o: V3, d: V3, t_min, t_max,
                 config: RenderConfig):
     """Planar occlusion dispatch."""
+    from .ops import tlas as tlas_mod
+
+    if isinstance(accel, tlas_mod.TwoLevelFlat):
+        return tlas_mod.any_hit_tlas(accel, o, d, t_min, t_max)
     mode = config.traversal
     if (mode in ("bvh", "pallas", "auto")) and accel is not None:
         from .ops import traversal
@@ -207,9 +211,9 @@ def _shade_attrs_p(tab, tri_idx, u, v):
 
     The gathered rows are transposed once to (W, N) so every field and
     material plane is a free row slice with rays in lanes (ops/v3.py).
-    Returns (normal V3 [unit], mat MatP, rows (N, W) for array-API
-    consumers like the pbr BSDF).  uv interpolation is omitted — no
-    consumer yet (texturing will add it)."""
+    Returns (normal V3 [unit], mat MatP, mat_rows (N, MAT_W) for
+    array-API consumers like the pbr BSDF).  uv interpolation is
+    omitted — no consumer yet (texturing will add it)."""
     rows = tab[jnp.maximum(tri_idx, 0)]           # (N, W) single gather
     rt = rows.T                                   # (W, N) one relayout
     w = 1.0 - u - v
@@ -217,17 +221,18 @@ def _shade_attrs_p(tab, tri_idx, u, v):
         w * rt[0] + u * rt[3] + v * rt[6],
         w * rt[1] + u * rt[4] + v * rt[7],
         w * rt[2] + u * rt[5] + v * rt[8]))
-    return normal, MatP.from_rows_t(rt, base=ATTR_MAT), rows
+    return normal, MatP.from_rows_t(rt, base=ATTR_MAT), rows[:, ATTR_MAT:]
 
 
-def _eval_brdf_p(config: RenderConfig, mat: MatP, rows, n: V3, view: V3,
-                 l: V3, frame):
+def _eval_brdf_p(config: RenderConfig, mat: MatP, mat_rows, n: V3,
+                 view: V3, l: V3, frame):
     """Material-model dispatch: Disney (default, parity) or the glTF
-    metallic-roughness alternative (ref: shaders/pbr.slang)."""
+    metallic-roughness alternative (ref: shaders/pbr.slang).
+    mat_rows: gathered (N, MAT_W) material rows (array-API consumers)."""
     if config.brdf == "pbr":
         from .ops import pbr
 
-        f = pbr.bsdf_evaluate_simple(rows[:, ATTR_MAT:], n.to_array(),
+        f = pbr.bsdf_evaluate_simple(mat_rows, n.to_array(),
                                      view.to_array(), l.to_array())
         return V3.from_array(f)
     return brdf_p(mat, n, view, l, frame=frame)
@@ -458,10 +463,24 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
     # Fast shading path: when the accel carries a pre-sorted attribute
     # table, trace in leaf-pool id space and shade with ONE gather
     # (no tri_perm remap, no separate material gather).
-    attr = _hit_attr_table(accel)
+    from .ops import tlas as tlas_mod
+
+    two_level = isinstance(accel, tlas_mod.TwoLevelFlat)
+    attr = None if two_level else _hit_attr_table(accel)
     use_sorted = (attr is not None
                   and config.traversal in ("bvh", "pallas", "auto"))
-    tab = attr if use_sorted else _scene_attr_table(scene)
+    tab = attr if use_sorted or two_level else _scene_attr_table(scene)
+
+    def _trace(o_, d_, tmax_):
+        """(t, tri, inst-or-None, u, v) — two-level hits carry the
+        instance id for the shading-side transform/material lookup."""
+        if two_level:
+            return tlas_mod.closest_hit_tlas(accel, o_, d_,
+                                             config.t_min, tmax_)
+        t, tri, u, v = trace_closest_p(scene, accel, o_, d_,
+                                       config.t_min, tmax_, config,
+                                       sorted_ids=use_sorted)
+        return t, tri, None, u, v
 
     for depth in range(config.max_depth):
         # Retired rays trace with t_max = -1: the packet kernel drops
@@ -478,15 +497,13 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
             key = jnp.where(active, okey, jnp.float32(1e9))
             perm = jnp.argsort(key)
             inv = jnp.argsort(perm)
-            t, tri, u, v = trace_closest_p(
-                scene, accel, o.map(lambda a: a[perm]),
-                d.map(lambda a: a[perm]), config.t_min,
-                t_max[perm], config, sorted_ids=use_sorted)
+            t, tri, inst, u, v = _trace(o.map(lambda a: a[perm]),
+                                        d.map(lambda a: a[perm]),
+                                        t_max[perm])
             t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
+            inst = None if inst is None else inst[inv]
         else:
-            t, tri, u, v = trace_closest_p(
-                scene, accel, o, d, config.t_min, t_max, config,
-                sorted_ids=use_sorted)
+            t, tri, inst, u, v = _trace(o, d, t_max)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,
@@ -496,7 +513,11 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
                                        throughput * sky_rad,
                                        _zero3(o.x))
 
-        nrm, mat, rows = _shade_attrs_p(tab, tri, u, v)
+        if two_level:
+            nrm, mat, rows = tlas_mod.shade_attrs_tlas(
+                accel, scene.materials, tri, inst, u, v)
+        else:
+            nrm, mat, rows = _shade_attrs_p(tab, tri, u, v)
         world_pos = o + d * t
         view = -d  # toward viewer
         # Front-face test before the flip (drives refraction eta).
