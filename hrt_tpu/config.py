@@ -44,6 +44,14 @@ class RenderConfig:
     # Post pipeline (phase 5):
     denoise: bool = False
     upscale: int = 1                 # 1 = off, 2 = 2x learned upscale
+    # "spatial" = residual CNN on the current frame only; "temporal" =
+    # ray-reconstruction mode blending reprojected history (DLSS-RR
+    # stand-in, ref: README.md / RTApp.cpp:162-163 markers).
+    upscale_mode: str = "spatial"
+    # Many-light NEE sampler: "cdf" = flat O(L) weight scan, "bvh" =
+    # O(log L) light-BVH stochastic descent (ops/lightbvh.py), "auto" =
+    # bvh past 32 lights.  Only applies when light_samples > 0.
+    light_sampler: str = "auto"
     accumulate: bool = False         # temporal accumulation across frames
 
     @property

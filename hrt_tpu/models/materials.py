@@ -22,7 +22,7 @@ Layout (MAT_W f32 per material):
   16    emissionStrength(extension)
   17    ior             (extension, for refraction; default 1.5)
   18    transmission    (extension, 0 = opaque)
-  19    pad
+  19    base-color texture id (extension; -1 = none — models/textures.py)
 """
 from __future__ import annotations
 
@@ -47,6 +47,7 @@ EMISSIVE = slice(13, 16)
 EMISSION_STRENGTH = 16
 IOR = 17
 TRANSMISSION = 18
+BASE_COLOR_TEX = 19
 
 # ROUGHNESS_ZERO guard (ref: Scene.h:18) — we clamp at shade time instead.
 ROUGHNESS_MIN = 1e-4
@@ -126,6 +127,7 @@ def make_material(
     clearcoat_gloss: float = 0.0,
     ior: float = 1.5,
     transmission: float = 0.0,
+    texture: int = -1,
 ) -> np.ndarray:
     """One material record; positional args match Scene::createMaterial
     (ref: Scene.h:139, Scene.cpp:80-86)."""
@@ -145,4 +147,5 @@ def make_material(
     m[EMISSION_STRENGTH] = emission_strength
     m[IOR] = ior
     m[TRANSMISSION] = transmission
+    m[BASE_COLOR_TEX] = float(texture)
     return m

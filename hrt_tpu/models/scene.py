@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from . import lights as lights_mod
 from . import materials as mat_mod
+from . import textures as tex_mod
 from . import sky as sky_mod
 from .instance import MeshInstance
 from .mesh import Mesh, load_obj
@@ -56,6 +57,9 @@ class SceneData(NamedTuple):
     # Per-instance world AABBs (culling pre-pass, ops/culling.py):
     inst_bmin: jnp.ndarray  # (I, 3) f32
     inst_bmax: jnp.ndarray  # (I, 3) f32
+    # Packed base-color textures (models/textures.py); (0, R, R, 3)
+    # when the scene has none.
+    textures: jnp.ndarray = None
 
     @property
     def num_triangles(self) -> int:
@@ -65,9 +69,17 @@ class SceneData(NamedTuple):
 class Scene:
     """Host-side scene builder (ref: Scene.h:132-192)."""
 
+    def create_texture(self, image) -> int:
+        """Register a base-color texture (any HxWx3 array, 8-bit or
+        float); returns the id for create_material(texture=...).
+        Extension — the reference ships UVs but no image textures."""
+        self.textures.append(np.asarray(image))
+        return len(self.textures) - 1
+
     def __init__(self):
         self.meshes: list[Mesh] = []
         self.materials: list[np.ndarray] = []
+        self.textures: list[np.ndarray] = []
         self.lights: list[np.ndarray] = []
         self.instances: list[MeshInstance] = []
         self.sky: np.ndarray = sky_mod.default_sky()
@@ -237,6 +249,7 @@ class Scene:
             sky=jnp.asarray(self.sky),
             inst_bmin=jnp.asarray(inst_bmin),
             inst_bmax=jnp.asarray(inst_bmax),
+            textures=jnp.asarray(tex_mod.pack_textures(self.textures)),
         )
 
 

@@ -8,8 +8,12 @@ YAML schema mirrors the Scene authoring API 1:1:
       - {name: ball, icosphere: {subdivisions: 3, radius: 1.0}}
       - {name: floor, plane: {size: 4.0}}
       - {name: bunny, obj: models/bunny.obj}
+    textures:
+      - {name: checker, checkerboard: {n: 8}}
+      - {name: wood, image: assets/wood.png}
     materials:
       - {name: white, color: [0.73, 0.73, 0.73], roughness: 1.0}
+      - {name: floor, color: [1, 1, 1], texture: checker}
       - {name: glass, color: [1, 1, 1], transmission: 1.0, ior: 1.5}
     lights:
       - {position: [0, -1.9, 0], color: [1, 1, 1], intensity: 20}
@@ -53,6 +57,22 @@ def scene_from_dict(spec: dict) -> Scene:
             raise ValueError(f"mesh '{name}': unknown source {m}")
         mesh_ids[name] = mid
 
+    tex_ids: dict[str, int] = {}
+    for i, t in enumerate(spec.get("textures", [])):
+        name = t.get("name", f"tex{i}")
+        if "image" in t:
+            from PIL import Image
+            import numpy as np
+
+            img = np.asarray(Image.open(t["image"]).convert("RGB"))
+        elif "checkerboard" in t:
+            from . import textures as tex_mod
+
+            img = tex_mod.checkerboard(**(t["checkerboard"] or {}))
+        else:
+            raise ValueError(f"texture '{name}': unknown source {t}")
+        tex_ids[name] = sc.create_texture(img)
+
     for i, m in enumerate(spec.get("materials", [])):
         m = dict(m)
         name = m.pop("name", f"mat{i}")
@@ -61,6 +81,8 @@ def scene_from_dict(spec: dict) -> Scene:
         roughness = m.pop("roughness", 1.0)
         emissive = tuple(m.pop("emissive_color", (0.0, 0.0, 0.0)))
         strength = m.pop("emission_strength", 0.0)
+        if "texture" in m:
+            m["texture"] = tex_ids[m.pop("texture")]
         mat_ids[name] = sc.create_material(color, metallic, roughness,
                                            emissive, strength, **m)
 

@@ -524,13 +524,16 @@ def shade_attrs_tlas(tl: TwoLevelFlat, materials, tri_id, inst_id, u, v):
     sorted attr table, normals transformed by the hit instance's normal
     matrix, material row from the instance's material id
     (ref: rchitMain attribute fetch + InstanceInfo material lookup,
-    shaders/objects.slang:15-58).  Returns (normal V3, MatP, rows)."""
+    shaders/objects.slang:15-58).  Returns (normal V3, MatP, mat_rows,
+    (tu, tv) interpolated hit UVs)."""
     from ..models.materials import MatP
     from . import v3
 
     rows = tl.attr[jnp.maximum(tri_id, 0)]            # (N, 15)
     rt = rows.T
     w = 1.0 - u - v
+    tu = w * rt[9] + u * rt[11] + v * rt[13]
+    tv = w * rt[10] + u * rt[12] + v * rt[14]
     n_obj = V3(w * rt[0] + u * rt[3] + v * rt[6],
                w * rt[1] + u * rt[4] + v * rt[7],
                w * rt[2] + u * rt[5] + v * rt[8])
@@ -544,4 +547,4 @@ def shade_attrs_tlas(tl: TwoLevelFlat, materials, tri_id, inst_id, u, v):
         nm[:, 2, 0] * n_obj.x + nm[:, 2, 1] * n_obj.y
         + nm[:, 2, 2] * n_obj.z))
     mrows = materials[tl.inst_mat[si]]                # (N, MAT_W)
-    return normal, MatP.from_rows_t(mrows.T), mrows
+    return normal, MatP.from_rows_t(mrows.T), mrows, (tu, tv)

@@ -212,8 +212,8 @@ def _shade_attrs_p(tab, tri_idx, u, v):
     The gathered rows are transposed once to (W, N) so every field and
     material plane is a free row slice with rays in lanes (ops/v3.py).
     Returns (normal V3 [unit], mat MatP, mat_rows (N, MAT_W) for
-    array-API consumers like the pbr BSDF).  uv interpolation is
-    omitted — no consumer yet (texturing will add it)."""
+    array-API consumers like the pbr BSDF, (tu, tv) interpolated hit
+    UVs for texture sampling)."""
     rows = tab[jnp.maximum(tri_idx, 0)]           # (N, W) single gather
     rt = rows.T                                   # (W, N) one relayout
     w = 1.0 - u - v
@@ -221,7 +221,10 @@ def _shade_attrs_p(tab, tri_idx, u, v):
         w * rt[0] + u * rt[3] + v * rt[6],
         w * rt[1] + u * rt[4] + v * rt[7],
         w * rt[2] + u * rt[5] + v * rt[8]))
-    return normal, MatP.from_rows_t(rt, base=ATTR_MAT), rows[:, ATTR_MAT:]
+    tu = w * rt[9] + u * rt[11] + v * rt[13]
+    tv = w * rt[10] + u * rt[12] + v * rt[14]
+    return (normal, MatP.from_rows_t(rt, base=ATTR_MAT),
+            rows[:, ATTR_MAT:], (tu, tv))
 
 
 def _eval_brdf_p(config: RenderConfig, mat: MatP, mat_rows, n: V3,
@@ -243,14 +246,56 @@ def _zero3(like) -> V3:
     return V3(z, z, z)
 
 
+def _direct_bvh_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
+                  view: V3, world_pos: V3, config: RenderConfig,
+                  ray_mask, seed, frame):
+    """Light-BVH NEE: O(log L) stochastic-descent light pick per sample
+    (ops/lightbvh.py) — the real implementation of the LightBVHNode the
+    reference declares and never uses (Scene.h:123-130).  Unbiased:
+    contribution is divided by the exact descent pdf."""
+    from .ops import lightbvh
+
+    tree = lightbvh.build_light_tree(scene.lights)
+    out = _zero3(n.x)
+    s_count = config.light_samples
+    for _ in range(s_count):
+        u, seed = rng.rand(seed)
+        pick, pdf = lightbvh.sample_light(tree, world_pos, u)
+        lrows = scene.lights[pick]
+        ldir, lcol, lint, unb = lightbvh.process_light_rows(lrows,
+                                                            world_pos)
+        l = v3.normalize(ldir)
+        f = _eval_brdf_p(config, mat, rows, n, view, l, frame)
+        relevant = ((v3.dot(n, l) > 0.0)
+                    & (lint >= config.light_threshold)
+                    & (pdf > 1e-12))
+        if ray_mask is not None:
+            relevant = relevant & ray_mask
+        so = world_pos + n * config.normal_offset
+        reach = jnp.where(unb, INF, v3.length(ldir))
+        st = jnp.where(relevant, reach, -1.0)
+        occluded = trace_any_p(scene, accel, so, l, config.t_min, st,
+                               config)
+        vis = 1.0 - occluded.astype(jnp.float32)
+        contrib = f * lcol * (lint * vis / jnp.maximum(pdf, 1e-9))
+        out = out + v3.where(relevant, contrib, _zero3(n.x))
+    return out * (1.0 / jnp.float32(s_count)), seed
+
+
 def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
                       view: V3, world_pos: V3, config: RenderConfig,
                       ray_mask, seed, frame):
     """Many-light NEE: importance-sample `light_samples` lights per
     shading point by unshadowed contribution (intensity x NdotL x
     luminance) — the light-hierarchy stand-in the reference's comment
-    points at (raytracing.slang:76).  Shadow rays per point: S, not L."""
+    points at (raytracing.slang:76).  Shadow rays per point: S, not L.
+    Past 32 lights (or with light_sampler="bvh") the O(L) weight scan
+    here is replaced by the light-BVH descent (_direct_bvh_p)."""
     num_lights = scene.lights.shape[0]
+    if (config.light_sampler == "bvh"
+            or (config.light_sampler == "auto" and num_lights > 32)):
+        return _direct_bvh_p(scene, accel, mat, rows, n, view,
+                             world_pos, config, ray_mask, seed, frame)
     ls, reaches, ws = [], [], []
     for i in range(num_lights):
         ldir, lcol, lint, unb = process_light_one(scene.lights[i],
@@ -514,10 +559,20 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
                                        _zero3(o.x))
 
         if two_level:
-            nrm, mat, rows = tlas_mod.shade_attrs_tlas(
+            nrm, mat, rows, uvs = tlas_mod.shade_attrs_tlas(
                 accel, scene.materials, tri, inst, u, v)
         else:
-            nrm, mat, rows = _shade_attrs_p(tab, tri, u, v)
+            nrm, mat, rows, uvs = _shade_attrs_p(tab, tri, u, v)
+        if scene.textures is not None and scene.textures.shape[0] > 0:
+            # Base-color texture modulation (models/textures.py; the
+            # UV channel the reference plumbs but never consumes,
+            # ref: objects.slang:50-53).
+            from .models import textures as tex_mod
+
+            tex_id = rows[:, M.BASE_COLOR_TEX].astype(jnp.int32)
+            tx, ty, tz = tex_mod.sample_texture_p(
+                scene.textures, tex_id, uvs[0], uvs[1])
+            mat = mat._replace(color=mat.color * V3(tx, ty, tz))
         world_pos = o + d * t
         view = -d  # toward viewer
         # Front-face test before the flip (drives refraction eta).
@@ -609,7 +664,7 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
 
     acc = _zero3(jnp.zeros((rows * w,), jnp.float32))
     for s in range(config.spp):
-        seeds_s = seeds + jnp.uint32(s * 0x9E3779B9)
+        seeds_s = seeds + jnp.uint32((s * 0x9E3779B9) & 0xFFFFFFFF)
         if config.jitter:
             jx, seeds_s = rng.rand(seeds_s)
             jy, seeds_s = rng.rand(seeds_s)

@@ -1,0 +1,125 @@
+"""Light BVH: tree invariants, pdf self-consistency, unbiasedness, and
+renderer parity of the O(log L) sampler vs the flat per-light loop."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hrt_tpu.ops import lightbvh
+from hrt_tpu.ops.v3 import V3
+
+
+def _make_lights(n, seed=0):
+    from hrt_tpu.models.lights import LIGHT_W
+
+    rs = np.random.RandomState(seed)
+    rows = np.zeros((n, LIGHT_W), np.float32)
+    rows[:, 0:3] = rs.uniform(-5, 5, (n, 3))
+    rows[:, 3:6] = rs.uniform(0.2, 1.0, (n, 3))
+    rows[:, 6] = rs.uniform(0.5, 20.0, n)
+    return jnp.asarray(rows)
+
+
+def test_tree_invariants():
+    lights = _make_lights(13)
+    tree = lightbvh.build_light_tree(lights)
+    e = np.asarray(lights[:, 6]) * (
+        0.2126 * np.asarray(lights[:, 3])
+        + 0.7152 * np.asarray(lights[:, 4])
+        + 0.0722 * np.asarray(lights[:, 5]) + 1e-6)
+    np.testing.assert_allclose(float(tree.energy[0][0]), e.sum(),
+                               rtol=1e-5)
+    # Root box bounds every light position.
+    pos = np.asarray(lights[:, 0:3])
+    assert (np.asarray(tree.bmin[0][0]) <= pos.min(0) + 1e-6).all()
+    assert (np.asarray(tree.bmax[0][0]) >= pos.max(0) - 1e-6).all()
+    # Leaf energies of dummies are zero (13 -> 16 pad).
+    assert np.asarray(tree.energy[-1])[13:].sum() == 0.0
+
+
+def test_pdf_matches_empirical_frequency():
+    """The returned pdf must equal the actual pick probability."""
+    lights = _make_lights(7, seed=3)
+    tree = lightbvh.build_light_tree(lights)
+    n = 200_000
+    p = V3(jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,)))
+    u = jax.random.uniform(jax.random.PRNGKey(0), (n,))
+    pick, pdf = lightbvh.sample_light(tree, p, u)
+    pick = np.asarray(pick)
+    pdf = np.asarray(pdf)
+    for i in range(7):
+        sel = pick == i
+        if sel.sum() == 0:
+            continue
+        p_i = pdf[sel]
+        assert p_i.std() < 1e-6  # same point -> deterministic pdf
+        freq = sel.mean()
+        np.testing.assert_allclose(freq, p_i[0], rtol=0.08)
+    # pdfs over distinct lights sum to 1.
+    uniq = {int(i): float(pdf[pick == i][0]) for i in np.unique(pick)}
+    assert abs(sum(uniq.values()) - 1.0) < 0.02
+
+
+def test_estimator_unbiased():
+    """E[v(pick)/pdf] == sum_i v_i for any per-light value v."""
+    lights = _make_lights(11, seed=5)
+    tree = lightbvh.build_light_tree(lights)
+    n = 400_000
+    p = V3(jnp.full((n,), 1.0), jnp.full((n,), -0.5), jnp.zeros((n,)))
+    u = jax.random.uniform(jax.random.PRNGKey(1), (n,))
+    pick, pdf = lightbvh.sample_light(tree, p, u)
+    v = np.asarray(lights[:, 6]) * 0.3 + np.arange(11)  # arbitrary
+    est = v[np.asarray(pick)] / np.asarray(pdf)
+    np.testing.assert_allclose(est.mean(), v.sum(), rtol=0.03)
+
+
+def test_renderer_bvh_sampler_matches_full_loop():
+    """Direct lighting via the light-BVH sampler converges to the full
+    per-light loop on a many-light scene."""
+    from hrt_tpu.config import RenderConfig
+    from hrt_tpu.models.camera import Camera
+    from hrt_tpu.models.mesh import icosphere, plane
+    from hrt_tpu.models.scene import Scene
+    from hrt_tpu.renderer import render
+    import dataclasses
+
+    rs = np.random.RandomState(11)
+    sc = Scene()
+    gnd = sc.add_mesh(plane(8.0))
+    sph = sc.add_mesh(icosphere(1))
+    m = sc.create_material((0.8, 0.8, 0.8), 0.0, 0.7)
+    sc.create_instance(gnd, m, (0.0, 1.0, 0.0))
+    sc.create_instance(sph, m, (0.0, 0.0, 0.0))
+    for _ in range(40):
+        pos = rs.uniform(-3, 3, 3)
+        pos[1] = -rs.uniform(1.0, 4.0)
+        sc.create_light(tuple(pos), tuple(rs.uniform(0.3, 1, 3)),
+                        float(rs.uniform(1, 6)))
+    cam = Camera(position=(0.0, -1.0, -5.0), rotation=(-0.1, 0.0, 0.0))
+
+    base = RenderConfig(width=32, height=24, max_depth=1,
+                        traversal="bvh")
+    full = render(sc, cam, dataclasses.replace(base, light_samples=0))
+    # 8 samples x 8 accumulation frames of BVH-sampled NEE.
+    cfg_bvh = dataclasses.replace(base, light_samples=8,
+                                  light_sampler="bvh")
+    sc_built = sc.build()
+    from hrt_tpu.ops import lbvh
+    from hrt_tpu.renderer import camera_arrays, render_frame
+
+    accel = lbvh.build_bvh(sc_built, 8)
+    cams = camera_arrays(cam, cfg_bvh)
+    acc = np.zeros_like(full)
+    k = 8
+    for f in range(k):
+        acc += np.asarray(render_frame(sc_built, accel, cams,
+                                       jnp.uint32(f), cfg_bvh))
+    acc /= k
+    # MC estimate with 64 effective samples: mean image error small.
+    denom = np.maximum(full.mean(), 1e-6)
+    rel = np.abs(acc.mean() - full.mean()) / denom
+    assert rel < 0.05, rel
+    # Per-pixel agreement in the bright regions (loose MC tolerance).
+    bright = full.max(-1) > 0.05
+    rel_px = (np.abs(acc - full).mean(-1)[bright]
+              / np.maximum(full.mean(-1)[bright], 1e-3))
+    assert np.median(rel_px) < 0.25, np.median(rel_px)

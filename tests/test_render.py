@@ -139,3 +139,20 @@ def test_render_frames_matches_per_frame():
         one = render_frame(sc, None, cams, jnp.uint32(i), cfg)
         np.testing.assert_allclose(np.asarray(stack[i]), np.asarray(one),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_spp_above_two_renders():
+    """Regression: the per-sample seed constant overflowed uint32 at
+    spp >= 3 (s * 0x9E3779B9 exceeds 2^32 for s = 2)."""
+    import numpy as np
+    import bench
+    from hrt_tpu.config import RenderConfig
+    from hrt_tpu.models.camera import Camera
+    from hrt_tpu.renderer import render
+
+    cfg = RenderConfig(width=16, height=12, max_depth=1, spp=4,
+                       jitter=True, sky=True, traversal="bvh")
+    img = render(bench.build_bench_scene(),
+                 Camera(position=(0.0, -1.0, -6.0)), cfg)
+    assert np.isfinite(img).all()
+    assert img.max() > 0

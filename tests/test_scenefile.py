@@ -91,3 +91,23 @@ def test_refraction_bends_rays():
                         Camera(position=(0, -0.2, -2.2)), cfg)
     center = (slice(18, 30), slice(18, 30))
     assert img[center].mean() > img_opaque[center].mean() + 0.01
+
+
+def test_yaml_textures():
+    from hrt_tpu.models.scenefile import scene_from_dict
+
+    sc = scene_from_dict({
+        "meshes": [{"name": "floor", "plane": {"size": 2.0}}],
+        "textures": [{"name": "check",
+                      "checkerboard": {"n": 4, "res": 16}}],
+        "materials": [{"name": "m", "color": [1, 1, 1],
+                       "texture": "check"}],
+        "lights": [{"position": [0, -3, 0], "color": [1, 1, 1],
+                    "intensity": 10}],
+        "instances": [{"mesh": "floor", "material": "m",
+                       "position": [0, 1, 0]}],
+    })
+    data = sc.build()
+    assert data.textures.shape[0] == 1
+    from hrt_tpu.models.materials import BASE_COLOR_TEX
+    assert float(data.materials[0, BASE_COLOR_TEX]) == 0.0

@@ -105,15 +105,16 @@ def test_shade_attrs_normals(setup):
     dv = V3(*(jnp.asarray(d[:, i]) for i in range(3)))
     t_tl, tri_tl, inst_tl, u_tl, v_tl = tlas.closest_hit_tlas(
         tl, ov, dv, 1e-3, 1e32)
-    nrm, mat, rows = tlas.shade_attrs_tlas(tl, data.materials, tri_tl,
-                                           inst_tl, u_tl, v_tl)
+    nrm, mat, rows, _ = tlas.shade_attrs_tlas(tl, data.materials,
+                                              tri_tl, inst_tl, u_tl,
+                                              v_tl)
 
     from hrt_tpu.renderer import _shade_attrs_p, _scene_attr_table
     t_r, tri_r, u_r, v_r = traversal.closest_hit_bvh(
         data, soup, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e32,
         use_pallas=False)
-    nrm_r, mat_r, _ = _shade_attrs_p(_scene_attr_table(data), tri_r,
-                                     u_r, v_r)
+    nrm_r, mat_r, _, _ = _shade_attrs_p(_scene_attr_table(data), tri_r,
+                                        u_r, v_r)
     hit = np.asarray(tri_r) >= 0
     same_inst = (np.asarray(inst_tl)
                  == np.asarray(data.tri_inst)[
