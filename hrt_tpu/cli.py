@@ -73,6 +73,10 @@ def main(argv=None) -> None:
     ap.add_argument("--gamma", type=float, default=2.2)
     ap.add_argument("--stats", action="store_true")
     ap.add_argument("--upscale", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--upscale-mode", default="spatial",
+                    choices=("spatial", "temporal"),
+                    help="temporal = ray-reconstruction mode "
+                         "(reprojected history)")
     ap.add_argument("--upscaler-ckpt", default=None,
                     help="orbax checkpoint dir (scripts/train_upscaler)")
     ap.add_argument("--checkpoint", default=None,
@@ -94,6 +98,7 @@ def main(argv=None) -> None:
                            sky=args.sky, indirect=args.indirect,
                            jitter=args.indirect, denoise=args.denoise,
                            upscale=args.upscale,
+                           upscale_mode=args.upscale_mode,
                            traversal=args.traversal)
 
     from .frameloop import FrameLoop

@@ -32,13 +32,18 @@ from .renderer import CameraArrays, camera_arrays, render_rows
 @functools.partial(jax.jit, static_argnames=("config", "net"))
 def frame_program(scene: SceneData, accel, cams: CameraArrays,
                   prev_cams: CameraArrays, dn_state, accum, frame,
-                  config: RenderConfig, net=None, up_params=None):
+                  config: RenderConfig, net=None, up_params=None,
+                  up_history=None):
     """One fused frame: returns (output image, new denoise state,
-    new accumulation buffer)."""
+    new accumulation buffer, new upscaler history)."""
     h, w = config.height, config.width
+    temporal_up = (config.upscale == 2
+                   and config.upscale_mode == "temporal"
+                   and up_history is not None)
+    want_gb = config.denoise or temporal_up
     out = render_rows(scene, accel, cams, frame, 0, h, config,
-                      want_gbuffer=config.denoise)
-    if config.denoise:
+                      want_gbuffer=want_gb)
+    if want_gb:
         img, gbuffer = out
     else:
         img = out
@@ -55,9 +60,16 @@ def frame_program(scene: SceneData, accel, cams: CameraArrays,
     if config.upscale == 2 and net is not None and up_params is not None:
         from .models import upscaler
 
-        img = upscaler.upscale(net, up_params, img)
+        if temporal_up:
+            hist = upscaler.reproject_history(
+                up_history, gbuffer["world_pos"], gbuffer["hit"],
+                prev_cams, w, h)
+            img = upscaler.upscale_temporal(net, up_params, img, hist)
+            up_history = img
+        else:
+            img = upscaler.upscale(net, up_params, img)
 
-    return img, dn_state, accum
+    return img, dn_state, accum, up_history
 
 
 @dataclasses.dataclass
@@ -106,10 +118,16 @@ class FrameLoop:
         self.frame = 0
         self.prev_cams: Optional[CameraArrays] = None
         self.net = None
+        self.up_history = None
         if cfg.upscale == 2:
             from .models import upscaler
 
-            self.net, state, _ = upscaler.create()
+            if cfg.upscale_mode == "temporal":
+                self.net, state, _ = upscaler.create_temporal()
+                self.up_history = jnp.zeros(
+                    (2 * cfg.height, 2 * cfg.width, 3), jnp.float32)
+            else:
+                self.net, state, _ = upscaler.create()
             if self.upscaler_params is None:
                 self.upscaler_params = state.params
 
@@ -124,6 +142,8 @@ class FrameLoop:
         self.dn_state = denoise.init_state(cfg.height, cfg.width)
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         self.frame = 0
+        if self.up_history is not None:
+            self.up_history = jnp.zeros_like(self.up_history)
 
     def set_instance_transform(self, idx: int, position=None,
                                rotation=None, scale=None) -> None:
@@ -170,16 +190,19 @@ class FrameLoop:
         if self.prev_cams is None:
             self.prev_cams = cams
         self._maybe_cull(cams)
-        img, self.dn_state, self.accum = frame_program(
+        img, self.dn_state, self.accum, self.up_history = frame_program(
             self.scene, self.accel, cams, self.prev_cams, self.dn_state,
             self.accum, jnp.uint32(self.frame), self.config,
-            net=self.net, up_params=self.upscaler_params)
+            net=self.net, up_params=self.upscaler_params,
+            up_history=self.up_history)
         self.prev_cams = cams
         self.frame += 1
         return img
 
     # ---- checkpoint / resume (SURVEY.md section 5) -------------------
     def save_state(self, path: str) -> None:
+        extra = ({"up_history": np.asarray(self.up_history)}
+                 if self.up_history is not None else {})
         np.savez_compressed(
             path,
             frame=self.frame,
@@ -187,6 +210,7 @@ class FrameLoop:
             visible=np.asarray(self.visible),
             **{f"dn_{k}": np.asarray(v)
                for k, v in self.dn_state._asdict().items()},
+            **extra,
         )
 
     def load_state(self, path: str) -> None:
@@ -197,3 +221,5 @@ class FrameLoop:
         self.dn_state = denoise.DenoiseState(
             **{k: jnp.asarray(data[f"dn_{k}"])
                for k in denoise.DenoiseState._fields})
+        if "up_history" in data:
+            self.up_history = jnp.asarray(data["up_history"])

@@ -113,3 +113,120 @@ def self_supervised_batch(frames: jnp.ndarray, key, crop: int = 64,
 def upscale(net: UpscalerNet, params, img: jnp.ndarray) -> jnp.ndarray:
     """Apply the upscaler to one (H, W, 3) frame."""
     return net.apply(params, img[None])[0]
+
+
+# ---------------------------------------------------------------------------
+# Temporal ("ray reconstruction") mode: current LR frame + reprojected
+# HR history.  The reference advertises DLSS Ray Reconstruction with no
+# implementation (ref: README.md; marker comments RTApp.cpp:162-163);
+# this is a real temporal reconstruction net: a learned per-pixel blend
+# between the spatially-upscaled current frame and the warped previous
+# output, so static regions converge to accumulated history while
+# disocclusions fall back to the spatial path.
+# ---------------------------------------------------------------------------
+
+def space_to_depth2(img: jnp.ndarray) -> jnp.ndarray:
+    """(..., 2h, 2w, c) -> (..., h, w, 4c)."""
+    h2, w2, c = img.shape[-3], img.shape[-2], img.shape[-1]
+    x = img.reshape(img.shape[:-3] + (h2 // 2, 2, w2 // 2, 2, c))
+    x = jnp.swapaxes(x, -4, -3)  # (..., h, w, 2, 2, c)
+    return x.reshape(x.shape[:-3] + (4 * c,))
+
+
+class TemporalUpscalerNet(nn.Module):
+    """2x reconstruction from (current LR, reprojected HR history).
+
+    Head predicts a 2x2 pixel-shuffled residual over the bilinear
+    upsample plus a sigmoid blend alpha toward the history."""
+
+    features: int = 32
+    depth: int = 3
+
+    @nn.compact
+    def __call__(self, lr, hist):
+        """lr: (..., h, w, 3); hist: (..., 2h, 2w, 3) -> (..., 2h, 2w, 3)."""
+        h, w = lr.shape[-3], lr.shape[-2]
+        up = jax.image.resize(
+            lr, lr.shape[:-3] + (2 * h, 2 * w, 3), method="bilinear")
+        x = jnp.concatenate([lr, space_to_depth2(hist)], axis=-1)
+        for _ in range(self.depth):
+            x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+        head = nn.Conv(16, (3, 3), padding="SAME")(x)
+
+        def shuffle(t, c):
+            t = t.reshape(t.shape[:-3] + (h, w, 2, 2, c))
+            t = jnp.swapaxes(t, -4, -3)
+            return t.reshape(t.shape[:-5] + (2 * h, 2 * w, c))
+
+        residual = shuffle(head[..., :12], 3)
+        alpha = nn.sigmoid(shuffle(head[..., 12:16], 1))
+        spatial = up + residual
+        return spatial + alpha * (hist - spatial)
+
+
+def create_temporal(rng_key=None, features: int = 32, depth: int = 3,
+                    lr: float = 1e-3):
+    """Returns (net, state, optimizer) for the temporal mode."""
+    net = TemporalUpscalerNet(features=features, depth=depth)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    params = net.init(rng_key, jnp.zeros((1, 32, 32, 3), jnp.float32),
+                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+    tx = optax.adam(lr)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    return net, state, tx
+
+
+def _loss_fn_temporal(params, net, lr_batch, hist_batch, hr_batch):
+    pred = net.apply(params, lr_batch, hist_batch)
+    tm = lambda x: x / (1.0 + jnp.abs(x))
+    diff = tm(pred) - tm(hr_batch)
+    return jnp.mean(jnp.sqrt(diff * diff + 1e-6))
+
+
+@functools.partial(jax.jit, static_argnames=("net", "tx"))
+def train_step_temporal(state: TrainState, net, tx, lr_batch,
+                        hist_batch, hr_batch):
+    loss, grads = jax.value_and_grad(_loss_fn_temporal)(
+        state.params, net, lr_batch, hist_batch, hr_batch)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def reproject_history(hist: jnp.ndarray, world_pos, hit_mask, prev_cam,
+                      width: int, height: int) -> jnp.ndarray:
+    """Warp the previous HR output onto the current frame.
+
+    world_pos/hit_mask: current-frame G-buffer at RENDER res (H, W, *)
+    — resized to the HR grid (surfaces are locally smooth, so bilinear
+    motion is accurate away from silhouettes; the net's alpha channel
+    handles the rest).  Out-of-bounds or miss pixels get zero history
+    (the net learns to ignore it there)."""
+    from ..ops.denoise import _bilinear, _project
+
+    h2, w2 = hist.shape[0], hist.shape[1]
+    # Corner-convention 2x upsample: LR sample (i, j) sits exactly at
+    # HR coordinate (2i, 2j) under the launchID pixel convention
+    # (clip = id/size*2-1, ref: raytracing.slang:100) — jax.image.resize
+    # uses half-pixel centers and would shift motion by ~0.5 HR px.
+    ys = jnp.arange(h2, dtype=jnp.float32)[:, None] * 0.5
+    xs = jnp.arange(w2, dtype=jnp.float32)[None, :] * 0.5
+    wp, _ = _bilinear(world_pos, jnp.broadcast_to(xs, (h2, w2)),
+                      jnp.broadcast_to(ys, (h2, w2)))
+    hm = hit_mask[jnp.arange(h2) // 2][:, jnp.arange(w2) // 2]
+    px, py, _ = _project(wp, prev_cam.origin, prev_cam.basis,
+                         prev_cam.tan_half_fovy, prev_cam.aspect,
+                         w2, h2)
+    val, inb = _bilinear(hist, px, py)
+    ok = (inb & (hm > 0.5))[..., None]
+    return jnp.where(ok, val, 0.0)
+
+
+def upscale_temporal(net, params, img: jnp.ndarray,
+                     hist: jnp.ndarray) -> jnp.ndarray:
+    """Apply the temporal upscaler to one (H, W, 3) frame with a
+    reprojected (2H, 2W, 3) history."""
+    return net.apply(params, img[None], hist[None])[0]

@@ -46,3 +46,84 @@ def test_train_step_reduces_loss():
         state, loss = upscaler.train_step(state, net, tx, lr_b, hr_b)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+def test_temporal_shape_and_blend():
+    """Temporal net: correct shape; with perfect history it can learn a
+    high blend (smoke: output is finite and history-dependent)."""
+    net, state, _ = upscaler.create_temporal()
+    rs = np.random.RandomState(2)
+    lr = jnp.asarray(rs.uniform(0, 1, (24, 32, 3)).astype(np.float32))
+    hist = jnp.asarray(rs.uniform(0, 1, (48, 64, 3)).astype(np.float32))
+    out = upscaler.upscale_temporal(net, state.params, lr, hist)
+    assert out.shape == (48, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    out0 = upscaler.upscale_temporal(net, state.params, lr,
+                                     jnp.zeros_like(hist))
+    assert float(jnp.abs(out - out0).max()) > 0.0  # history is used
+
+
+def test_temporal_train_step_reduces_loss():
+    """With history == ground truth, the net should quickly learn to
+    copy it (alpha -> 1), driving the loss down fast."""
+    net, state, tx = upscaler.create_temporal(lr=3e-3)
+    rs = np.random.RandomState(3)
+    hr = jnp.asarray(rs.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    lr_b = upscaler.downsample2(hr)
+    noisy_lr = lr_b + 0.1 * jnp.asarray(
+        rs.normal(0, 1, lr_b.shape).astype(np.float32))
+    losses = []
+    for i in range(30):
+        state, loss = upscaler.train_step_temporal(state, net, tx,
+                                                   noisy_lr, hr, hr)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+
+def test_reproject_history_static_camera_identity():
+    """A static camera must reproject history exactly onto itself
+    (corner convention match with primary-ray generation)."""
+    from hrt_tpu.config import RenderConfig
+    from hrt_tpu.models.camera import Camera, primary_rays_p
+    from hrt_tpu.renderer import camera_arrays
+
+    h, w = 24, 32
+    cfg = RenderConfig(width=w, height=h)
+    cams = camera_arrays(Camera(position=(0.0, -1.0, -5.0)), cfg)
+    o, d = primary_rays_p(cams.origin, cams.basis, cams.tan_half_fovy,
+                          cams.aspect, w, h)
+    # A wall of hits at t=3: world positions on the ray grid.
+    t = 3.0
+    wp = jnp.stack([(o.x + d.x * t).reshape(h, w),
+                    (o.y + d.y * t).reshape(h, w),
+                    (o.z + d.z * t).reshape(h, w)], axis=-1)
+    hit = jnp.ones((h, w), jnp.float32)
+    rs = np.random.RandomState(4)
+    hist = jnp.asarray(rs.uniform(0, 1, (2 * h, 2 * w, 3))
+                       .astype(np.float32))
+    warped = upscaler.reproject_history(hist, wp, hit, cams, w, h)
+    # Interior pixels must round-trip exactly (borders feel the resize).
+    inner = np.asarray(warped)[8:-8, 8:-8]
+    ref = np.asarray(hist)[8:-8, 8:-8]
+    np.testing.assert_allclose(inner, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_frameloop_temporal_upscale_smoke():
+    """Two frames through FrameLoop in temporal mode: correct output
+    size, finite, and history state advances."""
+    import bench
+    from hrt_tpu.config import RenderConfig
+    from hrt_tpu.frameloop import FrameLoop
+    from hrt_tpu.models.camera import Camera
+
+    cfg = RenderConfig(width=32, height=24, max_depth=1, sky=True,
+                       upscale=2, upscale_mode="temporal")
+    loop = FrameLoop(bench.build_bench_scene(), cfg,
+                     cull_threshold_px=0.0)
+    cam = Camera(position=(0.0, -1.0, -6.0), rotation=(-0.15, 0.0, 0.0))
+    img0 = np.asarray(loop.step(cam))
+    assert img0.shape == (48, 64, 3)
+    assert np.isfinite(img0).all()
+    assert float(np.abs(np.asarray(loop.up_history)).max()) > 0.0
+    img1 = np.asarray(loop.step(cam))
+    assert np.isfinite(img1).all()
