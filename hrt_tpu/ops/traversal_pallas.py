@@ -57,6 +57,13 @@ DEBUG_COUNTERS = bool(int(os.environ.get("HRT_DEBUG_COUNTERS", "0")))
 # Measured flat on v5e (the walk is throughput-bound, not
 # latency-bound); kept as an opt-in experiment.
 SPEC = bool(int(os.environ.get("HRT_SPEC", "0")))
+# Group-predicated leaf phase: per leaf visit, split the tile into
+# row groups of (8, 128) rays and run the K-triangle Moller loop ONLY
+# on groups whose slab mask has any hit.  Leaf math dominates kernel
+# vector work (~90% of issues) and a leaf's AABB covers few groups of
+# a coherent tile, so skipped groups are pure savings (a scalar any()
+# + branch per group).
+GROUP_LEAF = bool(int(os.environ.get("HRT_GROUP_LEAF", "0")))
 # Octant-ordered traversal: when the accel carries the 8 near-first
 # DFS tables (FlatBVH.nodes_oct), each walk picks the table matching
 # its first ray's direction octant.  MEASURED NO WIN on the bench
@@ -364,23 +371,47 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                 while leaf_size % unroll:
                     unroll -= 1
 
-                def tri_body(gk, args):
-                    best_t, best_i, bu, bv = args
-                    for kk in range(unroll):
-                        k = gk * unroll + kk
-                        tri = _tri_vecs(rec, lane0 + k)
-                        h, t, u, v = _moller(tri, ox, oy, oz, dx, dy, dz,
-                                             tmin, best_t)
-                        best_i = jnp.where(h, start + k, best_i)
-                        if find_closest:
-                            bu = jnp.where(h, u, bu)
-                            bv = jnp.where(h, v, bv)
-                            best_t = jnp.where(h, t, best_t)
-                    return best_t, best_i, bu, bv
+                def tri_loop(gox, goy, goz, gdx, gdy, gdz, state):
+                    def tri_body(gk, args):
+                        best_t, best_i, bu, bv = args
+                        for kk in range(unroll):
+                            k = gk * unroll + kk
+                            tri = _tri_vecs(rec, lane0 + k)
+                            h, t, u, v = _moller(tri, gox, goy, goz,
+                                                 gdx, gdy, gdz,
+                                                 tmin, best_t)
+                            best_i = jnp.where(h, start + k, best_i)
+                            if find_closest:
+                                bu = jnp.where(h, u, bu)
+                                bv = jnp.where(h, v, bv)
+                                best_t = jnp.where(h, t, best_t)
+                        return best_t, best_i, bu, bv
 
-                best_t, best_i, bu, bv = jax.lax.fori_loop(
-                    0, leaf_size // unroll, tri_body,
-                    (best_t, best_i, bu, bv))
+                    return jax.lax.fori_loop(0, leaf_size // unroll,
+                                             tri_body, state)
+
+                if GROUP_LEAF and rows % 8 == 0 and rows > 8:
+                    outs = []
+                    for g in range(rows // 8):
+                        sl = slice(8 * g, 8 * (g + 1))
+                        state_g = (best_t[sl], best_i[sl],
+                                   bu[sl], bv[sl])
+
+                        def run(a, sl=sl):
+                            return tri_loop(ox[sl], oy[sl], oz[sl],
+                                            dx[sl], dy[sl], dz[sl], a)
+
+                        outs.append(jax.lax.cond(
+                            jnp.any(hit[sl]), run, lambda a: a,
+                            state_g))
+                    cat = lambda i: jnp.concatenate(
+                        [o[i] for o in outs], axis=0)
+                    best_t, best_i, bu, bv = (cat(0), cat(1), cat(2),
+                                              cat(3))
+                else:
+                    best_t, best_i, bu, bv = tri_loop(
+                        ox, oy, oz, dx, dy, dz,
+                        (best_t, best_i, bu, bv))
                 if not find_closest:
                     # Shadow mode: retire occluded lanes (t_limit = -1
                     # fails every slab test) so the packet stops

@@ -31,6 +31,31 @@ def time_loop(loop, cam, frames=4, batches=3):
     return best, np.asarray(img).shape
 
 
+def _instance_grid(n=16):
+    """n x n grid of rotated/scaled sphere instances + ground plane."""
+    import numpy as np
+    from hrt_tpu.models.mesh import icosphere, plane
+    from hrt_tpu.models.scene import Scene
+
+    sc = Scene()
+    sph = sc.add_mesh(icosphere(2))
+    gnd = sc.add_mesh(plane(30.0))
+    white = sc.create_material((0.8, 0.8, 0.8), 0.0, 0.8)
+    metal = sc.create_material((0.9, 0.7, 0.3), 1.0, 0.15)
+    sc.create_light((0.0, -6.0, -2.0), (1.0, 1.0, 1.0), 60.0)
+    sc.create_instance(gnd, white, (0.0, 1.0, 0.0))
+    rs = np.random.RandomState(7)
+    for i in range(n):
+        for j in range(n):
+            s = 0.25 + 0.15 * rs.rand()
+            sc.create_instance(
+                sph, metal if (i + j) % 2 else white,
+                (1.2 * (i - n / 2), 0.5, 1.2 * (j - n / 2)),
+                rotation=tuple(rs.uniform(0, 3.14, 3)),
+                scale=(s, s, s))
+    return sc
+
+
 def main():
     import bench
     from hrt_tpu.config import RenderConfig
@@ -40,8 +65,9 @@ def main():
 
     results = []
 
-    def run(name, scene, cam, cfg, spp_note=""):
-        loop = FrameLoop(scene, cfg, cull_threshold_px=0.0)
+    def run(name, scene, cam, cfg, spp_note="", two_level=False):
+        loop = FrameLoop(scene, cfg, cull_threshold_px=0.0,
+                         two_level=two_level)
         dt, shape = time_loop(loop, cam)
         rays = bench.rays_per_frame(cfg, loop.scene.lights.shape[0])
         rec = {
@@ -86,6 +112,14 @@ def main():
                      indirect=True, jitter=True, denoise=True,
                      upscale=2, traversal="pallas"),
         spp_note="3840x2160 output via denoise + learned 2x upscale")
+
+    # 6. Many-instance scene through the in-kernel TLAS/BLAS path
+    # (the reference's BLAS-per-mesh + TLAS architecture,
+    # Scene.cpp:163-254): a 16x16 grid of transformed sphere instances.
+    run("instanced_tlas_512x384", _instance_grid(), demo_cam,
+        RenderConfig(width=512, height=384, max_depth=1, sky=True),
+        spp_note="256 instances, two-level TLAS->BLAS kernel",
+        two_level=True)
 
     with open("BENCH_FULL.json", "w") as f:
         json.dump(results, f, indent=2)
