@@ -335,18 +335,29 @@ def _make_tlas_kernel(m_tot: int, tlas_m: int, leaf_size: int,
              best_t, best_i, best_inst, bu, bv, done, cray) = st
             oix, oiy, oiz, ix, iy, iz, ox, oy, oz, dx, dy, dz = cray
 
-            box, leaf_code, skip = _node_decode(
+            box, leaf_v, skip_v = _node_decode(
                 fetch(cur), jnp.minimum(cur, m_tot - 1))
             hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin,
                              best_t)
-            any_hit = jnp.any(hit)
-            is_leaf = leaf_code > 0
-            is_inst = leaf_code < 0
+            # One packed vector->scalar crossing for the whole 3-way
+            # decision (see traversal_pallas._node_decode): bits 0-1 =
+            # take_leaf / enter_instance, rest = next cursor.
+            any_v = jnp.any(hit, axis=(0, 1), keepdims=True)
+            is_leaf_v = leaf_v > 0
+            is_inst_v = leaf_v < 0
+            descend_v = any_v & (leaf_v == 0)
+            nxt_v = jnp.where(descend_v, cur + 1, skip_v)
+            p = jnp.sum(nxt_v * 4
+                        + (any_v & is_leaf_v).astype(I32)
+                        + 2 * (any_v & is_inst_v).astype(I32))
+            take_leaf = (p & 1) == 1
+            enter = (p & 2) == 2
+            nxt = p >> 2
 
             # BLAS triangle leaf: K Moller tests (global sorted ids).
             def do_leaf(args):
                 best_t, best_i, best_inst, bu, bv, done = args
-                start = leaf_code - 1
+                start = jnp.sum(leaf_v) - 1
                 lane0 = start % TILE_LANES
                 if tris_in_vmem:
                     rec = _leaf_fetch(tris_ref, start)
@@ -381,19 +392,13 @@ def _make_tlas_kernel(m_tot: int, tlas_m: int, leaf_size: int,
                     done = jnp.all(occ)
                 return best_t, best_i, best_inst, bu, bv, done
 
-            take_leaf = any_hit & is_leaf
             best_t, best_i, best_inst, bu, bv, done = jax.lax.cond(
                 take_leaf, do_leaf, lambda a: a,
                 (best_t, best_i, best_inst, bu, bv, done))
 
-            descend = any_hit & (leaf_code == 0)
-            nxt = jnp.where(descend, cur + 1, skip)
-
             # TLAS instance leaf: re-base walk + rays into the BLAS.
-            enter = any_hit & is_inst
-
             def do_enter(_):
-                iid = -leaf_code - 1
+                iid = -jnp.sum(leaf_v) - 1
                 m, base, end = _inst_decode(inst_ref, iid)
                 oo_x = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
                 oo_y = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
@@ -404,7 +409,9 @@ def _make_tlas_kernel(m_tot: int, tlas_m: int, leaf_size: int,
                 ix, iy, iz = inv(od_x), inv(od_y), inv(od_z)
                 cray = (oo_x * ix, oo_y * iy, oo_z * iz, ix, iy, iz,
                         oo_x, oo_y, oo_z, od_x, od_y, od_z)
-                return base, end, skip, iid, cray
+                # enter implies not-descend, so nxt == this node's skip
+                # — exactly the TLAS resume point after the BLAS.
+                return base, end, nxt, iid, cray
 
             nxt, bend, resume, cinst, cray = jax.lax.cond(
                 enter, do_enter, lambda _: (nxt, bend, resume, cinst,

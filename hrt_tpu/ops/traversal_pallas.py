@@ -64,6 +64,22 @@ SPEC = bool(int(os.environ.get("HRT_SPEC", "0")))
 # a coherent tile, so skipped groups are pure savings (a scalar any()
 # + branch per group).
 GROUP_LEAF = bool(int(os.environ.get("HRT_GROUP_LEAF", "0")))
+# Perf-decomposition probes (WRONG RESULTS — instrumentation only):
+# "noleaf" skips all leaf processing (isolates node-machinery cost per
+# visit); "allleaf" runs the Moller loop unconditionally every visit
+# (upper bound; validates that the leaf cond actually skips work);
+# "scan"/"scan_nofetch"/"shortchain" decompose the per-visit serial
+# dependency stall (see _make_kernel_frustum's docstring for the
+# measured numbers that motivated the frustum walk).
+PROBE = os.environ.get("HRT_PROBE", "")
+# Frustum-interval walk (see _make_kernel_frustum): traversal decisions
+# from conservative per-group interval arithmetic instead of per-ray
+# slab tests — keeps the fetch->decide dependency chain SHALLOW (the
+# measured wall: a deep per-ray slab+reduce chain stalls the scalar
+# core ~0.95 us per visit; the same body with a short chain runs at
+# 0.38 us/visit).  Exact: the interval test over-approximates the
+# per-ray any(), and leaves run exact per-ray Moller tests.
+FRUSTUM = bool(int(os.environ.get("HRT_FRUSTUM", "0")))
 # Octant-ordered traversal: when the accel carries the 8 near-first
 # DFS tables (FlatBVH.nodes_oct), each walk picks the table matching
 # its first ray's direction octant.  MEASURED NO WIN on the bench
@@ -128,7 +144,14 @@ def _node_decode(rec, cur):
     """Decode one node from its already-loaded row: ONE f32 reduce for
     the box + ONE i32 reduce for the two bit-carried controls (bitcast
     BEFORE reducing — summing the raw bits as f32 would flush
-    small-integer denormal patterns to zero)."""
+    small-integer denormal patterns to zero).
+
+    leaf_code and skip are returned as (1, 1) VECTORS, not scalars:
+    each vector->scalar crossing is a serialized ~300-cycle round trip
+    on the fetch->decide chain, and the probe decomposition showed the
+    node machinery (not leaf math) dominating the kernel at ~1.3
+    us/visit.  step_walk packs the whole next-cursor decision into ONE
+    scalar crossing instead of three."""
     lane = cur % TILE_LANES
     r = _record_extract(rec, lane)                    # (1, 8, 1)
     box = [r[:, c, :] for c in range(6)]
@@ -137,9 +160,9 @@ def _node_decode(rec, cur):
     meta = jnp.sum(jnp.where(mask, pltpu.bitcast(rec[:, 6:8, :],
                                                  jnp.int32), 0),
                    axis=2, keepdims=True)             # (1, 2, 1)
-    leaf_code = jnp.sum(meta[:, 0, :])
-    skip = jnp.sum(meta[:, 1, :])
-    return box, leaf_code, skip
+    leaf_v = meta[:, 0, :]                            # (1, 1)
+    skip_v = meta[:, 1, :]                            # (1, 1)
+    return box, leaf_v, skip_v
 
 
 def _row_fetcher(nodes_ref, m_real, oct=None):
@@ -199,6 +222,30 @@ def _tri_vecs(rec, lane):
     sublane-parallel reduce for all 9 components."""
     r = _record_extract(rec, lane)                    # (1, 16, 1)
     return [r[:, c, :] for c in range(9)]
+
+
+def _leaf_align(rec, start):
+    """Rotate a leaf record row so the leaf's K-triangle block starts
+    at lane 0 — ONE dynamic lane roll, after which each triangle is a
+    FREE static slice (vs. a ~60-100 cycle masked reduce per triangle;
+    16 of those dominated the leaf phase)."""
+    shift = (TILE_LANES - start % TILE_LANES) % TILE_LANES
+    return pltpu.roll(rec, shift, axis=2)
+
+
+def _tri_vecs_static(rec_aligned, k: int):
+    """Triangle k's values from an aligned record row: static lane
+    slices, no reduces.  Returned as (1, 128) lane-broadcasts — Mosaic
+    can't broadcast a sliced (1,1) in sublanes AND lanes at once
+    ("Not implemented"), but lane-only here + implicit sublane
+    broadcast at the consuming elementwise op are both supported."""
+    r = rec_aligned[:, :, k:k + 1]                    # (1, 16, 1)
+    # pltpu.repeat pins the (1,1)->(1,128) lane broadcast as a REAL
+    # Mosaic op — jnp.broadcast_to gets folded by XLA into a single
+    # (1,1)->(8,128) both-axes broadcast Mosaic can't lower, and
+    # lax.optimization_barrier has no Pallas lowering (both tried).
+    return [pltpu.repeat(r[:, c, :], TILE_LANES, axis=1)
+            for c in range(9)]
 
 
 def _slab_test(box, oix, oiy, oiz, ix, iy, iz, t_min, t_limit):
@@ -286,7 +333,9 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             ix, iy, iz = inv(dx), inv(dy), inv(dz)
             rays.append((ox * ix, oy * iy, oz * iz, ix, iy, iz,
                          ox, oy, oz, dx, dy, dz))
-            if octant:
+            if PROBE == "scan_nofetch":
+                fetchers.append(lambda cur: nodes_ref[0:1])
+            elif octant:
                 oct = ((_lane_scalar(dx[0:1, :], 0) > 0)
                        .astype(jnp.int32)
                        + 2 * (_lane_scalar(dy[0:1, :], 0) > 0)
@@ -339,25 +388,55 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             active = walk_active(st)
             oix, oiy, oiz, ix, iy, iz, ox, oy, oz, dx, dy, dz = ray
             if spec:
-                box, leaf_code, skip = _node_decode(
+                box, leaf_v, skip_v = _node_decode(
                     rec, jnp.minimum(cur, m_real - 1))
                 # Prefetch BOTH successor rows now — they overlap with
                 # the slab/leaf vector work below; the scalar decision
                 # only selects between loaded registers.
                 rec_n = fetch(cur + 1)
-                rec_s = fetch(skip)
+                rec_s = fetch(jnp.sum(skip_v))
             else:
-                box, leaf_code, skip = _node_decode(
+                box, leaf_v, skip_v = _node_decode(
                     fetch(cur), jnp.minimum(cur, m_real - 1))
             hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin,
                              best_t)
-            any_hit = jnp.any(hit) & active
-            is_leaf = leaf_code > 0
+            # The whole next-cursor decision stays in vector registers
+            # and crosses to the scalar core ONCE, packed as
+            # p = next_node * 2 + take_leaf (vector->scalar moves are
+            # ~300-cycle serialized round trips; this was 3 of them).
+            any_v = jnp.any(hit, axis=(0, 1), keepdims=True)   # (1, 1)
+            is_leaf_v = leaf_v > 0
+            descend_v = any_v & jnp.logical_not(is_leaf_v)
+            nxt_v = jnp.where(descend_v, cur + 1, skip_v)
+            p = jnp.sum(nxt_v * 2
+                        + (any_v & is_leaf_v).astype(jnp.int32))
+            take_leaf = active & ((p & 1) == 1)
+            nxt = p >> 1
+            if PROBE.startswith("scan"):
+                # Control flow made data-INDEPENDENT: visit every node
+                # sequentially (p stays live via the counter so the
+                # body's vector work + crossing aren't dead-coded).
+                nxt = cur + 1
+                n_leaf = n_leaf + (p & 1)
+            elif PROBE == "shortchain":
+                # Dependent control, but through a SHORT vector chain
+                # (meta decode only — no slab/any on the critical
+                # path): descend internals, jump leaves.  Isolates the
+                # pipeline-depth stall from the transfer cost itself.
+                p2 = jnp.sum(jnp.where(is_leaf_v, skip_v, cur + 1))
+                nxt = p2
+                n_leaf = n_leaf + (p & 1)  # keep full body live
 
             def do_leaf(args):
                 best_t, best_i, bu, bv, done = args
-                start = leaf_code - 1
+                # The leaf start pays its own scalar crossing, but only
+                # on the taken branch (~1 in 5 visits).  max() guards
+                # the "allleaf" probe (internal nodes carry leaf_code 0
+                # -> start would go negative); no-op on the normal path
+                # where the cond guarantees leaf_code > 0.
+                start = jnp.maximum(jnp.sum(leaf_v) - 1, 0)
                 lane0 = start % TILE_LANES
+
                 if tris_in_vmem:
                     rec = _leaf_fetch(tris_ref, start)
                 else:
@@ -425,17 +504,33 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                     done = jnp.all(occ)
                 return best_t, best_i, bu, bv, done
 
-            take_leaf = any_hit & is_leaf
-            best_t, best_i, bu, bv, done = jax.lax.cond(
-                take_leaf, do_leaf, lambda a: a,
-                (best_t, best_i, bu, bv, done))
+            if PROBE in ("noleaf", "scan", "scan_nofetch", "shortchain"):
+                pass
+            elif PROBE == "allleaf":
+                best_t, best_i, bu, bv, done = do_leaf(
+                    (best_t, best_i, bu, bv, done))
+            else:
+                best_t, best_i, bu, bv, done = jax.lax.cond(
+                    take_leaf, do_leaf, lambda a: a,
+                    (best_t, best_i, bu, bv, done))
 
-            descend = any_hit & jnp.logical_not(is_leaf)
-            nxt = jnp.where(descend, cur + 1, skip)
             n_vis = n_vis + active.astype(jnp.int32)
-            n_leaf = n_leaf + take_leaf.astype(jnp.int32)
+            if DEBUG_COUNTERS and rows % 8 == 0:
+                # Count (8,128) row groups whose slab mask hit — the
+                # work GROUP_LEAF would actually run (leaf counter
+                # packs visits<<20 | leaves<<10 | group-hits).
+                gh = jnp.int32(0)
+                for g in range(rows // 8):
+                    gh = gh + jnp.any(
+                        hit[8 * g:8 * (g + 1)]).astype(jnp.int32)
+                n_leaf = n_leaf + jnp.where(
+                    take_leaf, 1024 + gh, 0)
+            else:
+                n_leaf = n_leaf + take_leaf.astype(jnp.int32)
             if spec:
-                rec_nxt = jnp.where(descend, rec_n, rec_s)
+                # nxt == cur+1 <=> descend (when skip == cur+1 the two
+                # candidate rows are identical, so either pick is right).
+                rec_nxt = jnp.where(nxt == cur + 1, rec_n, rec_s)
                 rec = jnp.where(active, rec_nxt, rec)
                 cur = jnp.where(active, nxt, cur)
                 return (cur, best_t, best_i, bu, bv, n_vis, n_leaf,
@@ -464,6 +559,246 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
     return kernel
 
 
+def _make_kernel_frustum(m_real: int, leaf_size: int, t_min: float,
+                         find_closest: bool, tris_in_vmem: bool = True,
+                         nodes_in_vmem: bool = True):
+    """Frustum-interval packet walk — same skip-link traversal, but the
+    per-visit descend decision comes from CONSERVATIVE interval
+    arithmetic over (1, ng) per-group ray bounds instead of a per-ray
+    slab test, and per-ray hit state lives IN THE OUTPUT REFS (mutated
+    in place under pl.when) instead of riding the while_loop carry.
+
+    Why, in two measurements (scripts/kernel_stats.py probes):
+    - "scan"/"shortchain" probes: the classic kernel's 1.33 us/visit is
+      ~0.95 us of the scalar core stalling on the deep per-ray
+      slab+reduce chain that produces the next cursor; the same body
+      with a shallow decision chain runs at 0.38 us/visit.  So the
+      decision here is ~45 tiny (1, ng) interval ops -> ONE packed
+      vector->scalar crossing (cursor | per-group hit bits | leaf bit).
+    - lax.cond with (64,128)-sized carried state costs ~0.5 us per
+      taken branch (vreg spills): with hit state in refs, the leaf
+      conds become plain pl.when branches over scalar BITS of the same
+      crossing, and the loop carries only scalars.
+
+    The expensive per-ray work (Moller) runs only at leaves and only
+    for ray groups whose frustum bit is set — the block-swizzled ray
+    order (ops/wavefront.to_walk_blocks) makes each (8, 128) group a
+    compact 32x32 pixel block so those bits are selective.
+
+    Exactness: the interval test over-approximates the per-ray any()
+    (outer bounds of every ray's slab terms -> superset walk); hits
+    come only from exact per-ray Moller tests.  Per-group t-culling
+    (`tlim`, the group max of per-ray best_t, in a VMEM scratch row)
+    refreshes after each processed leaf; a fully-occluded shadow group
+    drops to tlim = -1 and auto-retires from every later frustum test.
+    """
+    rows = TILE_ROWS
+    ng = rows // 8                    # (8, 128) ray groups per tile
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               nodes_ref, tris_ref, t_ref, tri_ref, u_ref, v_ref,
+               *rest):
+        if DEBUG_COUNTERS:
+            cnt_ref, *rest = rest
+        rest = list(rest)
+        scratch = [rest.pop(0), rest.pop(0)] if not tris_in_vmem else []
+        if not nodes_in_vmem:
+            node_buf, node_sems, node_cache = (rest.pop(0),
+                                               rest.pop(0), rest.pop(0))
+            node_cache[0] = jnp.int32(-1)
+            fetch = _row_fetcher_stream(nodes_ref, m_real, 0, node_buf,
+                                        node_sems, node_cache)
+        else:
+            fetch = _row_fetcher(nodes_ref, m_real)
+        tlim_ref, done_ref = rest
+        tiny = jnp.float32(1e-20)
+        tmin = jnp.float32(t_min)
+
+        def inv(c):
+            safe = jnp.where(jnp.abs(c) < tiny,
+                             jnp.where(c < 0, -tiny, tiny), c)
+            return 1.0 / safe
+
+        ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+        dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+        tmax0 = tmax_ref[:, :]
+        dead = tmax0 < 0.0            # retired lanes: exclude from
+                                      # bounds so they never widen them
+
+        # Hit state lives in the OUTPUT refs (loop-carry would spill).
+        t_ref[:, :] = tmax0
+        tri_ref[:, :] = jnp.full((rows, TILE_LANES), -1, jnp.int32)
+        u_ref[:, :] = jnp.zeros((rows, TILE_LANES), jnp.float32)
+        v_ref[:, :] = jnp.zeros((rows, TILE_LANES), jnp.float32)
+
+        def group_bounds(q, hi: bool):
+            neutral = jnp.float32(-1e32 if hi else 1e32)
+            qm = jnp.where(dead, neutral, q)
+            parts = []
+            for g in range(ng):
+                sl = qm[8 * g:8 * (g + 1)]
+                parts.append(jnp.max(sl, axis=(0, 1), keepdims=True)
+                             if hi else
+                             jnp.min(sl, axis=(0, 1), keepdims=True))
+            return jnp.concatenate(parts, axis=1)        # (1, ng)
+
+        ixl, ixh = group_bounds(ix, False), group_bounds(ix, True)
+        iyl, iyh = group_bounds(iy, False), group_bounds(iy, True)
+        izl, izh = group_bounds(iz, False), group_bounds(iz, True)
+        oxl, oxh = group_bounds(oix, False), group_bounds(oix, True)
+        oyl, oyh = group_bounds(oiy, False), group_bounds(oiy, True)
+        ozl, ozh = group_bounds(oiz, False), group_bounds(oiz, True)
+        tlim_ref[0:1, :] = jnp.pad(
+            jnp.concatenate(
+                [jnp.max(tmax0[8 * g:8 * (g + 1)], axis=(0, 1),
+                         keepdims=True) for g in range(ng)], axis=1),
+            ((0, 0), (0, TILE_LANES - ng)), constant_values=-1.0)
+        done_ref[0] = jnp.int32(0)
+        giota = jax.lax.broadcasted_iota(jnp.int32, (1, ng), 1)
+
+        def node_test(box, tlim):
+            """Conservative any-ray-hits-box per group -> (1, ng)."""
+            bminx, bminy, bminz, bmaxx, bmaxy, bmaxz = box
+
+            def axis(bl, bh, il, ih, ol, oh):
+                # Outer bounds of min/max(bl*i - o, bh*i - o) over the
+                # group's [il,ih] x [ol,oh] intervals (sign-safe).
+                p1, p2 = bl * il, bl * ih
+                p3, p4 = bh * il, bh * ih
+                lo = jnp.minimum(jnp.minimum(p1, p2),
+                                 jnp.minimum(p3, p4)) - oh
+                hi = jnp.maximum(jnp.maximum(p1, p2),
+                                 jnp.maximum(p3, p4)) - ol
+                return lo, hi
+
+            xl, xh = axis(bminx, bmaxx, ixl, ixh, oxl, oxh)
+            yl, yh = axis(bminy, bmaxy, iyl, iyh, oyl, oyh)
+            zl, zh = axis(bminz, bmaxz, izl, izh, ozl, ozh)
+            t_near = jnp.maximum(jnp.maximum(xl, yl),
+                                 jnp.maximum(zl, tmin))
+            t_far = jnp.minimum(jnp.minimum(xh, yh),
+                                jnp.minimum(zh, tlim))
+            return t_near <= t_far
+
+        def cond(st):
+            cur = st[0]
+            if find_closest:
+                return cur < m_real
+            return (cur < m_real) & (done_ref[0] == 0)
+
+        def step(st):
+            cur, n_vis, n_leaf = st
+            active = cur < m_real
+            box, leaf_v, skip_v = _node_decode(
+                fetch(cur), jnp.minimum(cur, m_real - 1))
+            tlim = tlim_ref[0:1, 0:ng]
+            ghit = node_test(box, tlim)
+            gm_v = jnp.sum(jnp.where(ghit, jnp.int32(1) << giota, 0),
+                           axis=1, keepdims=True)        # (1, 1)
+            any_v = gm_v > 0
+            is_leaf_v = leaf_v > 0
+            descend_v = any_v & jnp.logical_not(is_leaf_v)
+            nxt_v = jnp.where(descend_v, cur + 1, skip_v)
+            # One packed crossing: cursor | group bits | take_leaf.
+            p = jnp.sum(nxt_v * 2048
+                        + jnp.where(any_v & is_leaf_v, gm_v, 0) * 2
+                        + (any_v & is_leaf_v).astype(jnp.int32))
+            take_leaf = active & ((p & 1) == 1)
+            gm = (p >> 1) & 1023
+            nxt = p >> 11
+
+            @pl.when(take_leaf)
+            def _leaf():
+                # Per-group leaf, gated by the crossing's frustum bits.
+                # Measured round 2 (bench scene closest pass): this
+                # form 1.87 ms vs classic kernel 1.94, full-tile leaf
+                # 2.18, roll+static-slice extraction blocked by
+                # Mosaic's missing both-axes broadcast, pltpu.repeat
+                # broadcast 3.84.
+                start = jnp.maximum(jnp.sum(leaf_v) - 1, 0)
+                lane0 = start % TILE_LANES
+                if tris_in_vmem:
+                    rec = _leaf_fetch(tris_ref, start)
+                else:
+                    rec = _leaf_fetch(tris_ref, start, scratch[0],
+                                      scratch[1])
+                unroll = min(LEAF_UNROLL, leaf_size)
+                while leaf_size % unroll:
+                    unroll -= 1
+
+                for g in range(ng):
+                    sl = slice(8 * g, 8 * (g + 1))
+
+                    @pl.when(((gm >> g) & 1) == 1)
+                    def _group(sl=sl, g=g):
+                        bt = t_ref[sl, :]
+                        bi = tri_ref[sl, :]
+                        u_ = u_ref[sl, :]
+                        v_ = v_ref[sl, :]
+                        gox, goy, goz = ox[sl], oy[sl], oz[sl]
+                        gdx, gdy, gdz = dx[sl], dy[sl], dz[sl]
+
+                        def tri_body(gk, args):
+                            bt, bi, u_, v_ = args
+                            for kk in range(unroll):
+                                k = gk * unroll + kk
+                                tri = _tri_vecs(rec, lane0 + k)
+                                h, t, u, v = _moller(
+                                    tri, gox, goy, goz, gdx, gdy, gdz,
+                                    tmin, bt)
+                                bi = jnp.where(h, start + k, bi)
+                                if find_closest:
+                                    u_ = jnp.where(h, u, u_)
+                                    v_ = jnp.where(h, v, v_)
+                                    bt = jnp.where(h, t, bt)
+                            return bt, bi, u_, v_
+
+                        bt, bi, u_, v_ = jax.lax.fori_loop(
+                            0, leaf_size // unroll, tri_body,
+                            (bt, bi, u_, v_))
+                        if not find_closest:
+                            # per-lane shadow retirement
+                            occ = bi >= 0
+                            bt = jnp.where(occ, jnp.float32(-1.0), bt)
+                        t_ref[sl, :] = bt
+                        tri_ref[sl, :] = bi
+                        if find_closest:
+                            u_ref[sl, :] = u_
+                            v_ref[sl, :] = v_
+                        # Refresh the group's t-cull bound in place.
+                        tlim_ref[0:1, g:g + 1] = jnp.max(
+                            bt, axis=(0, 1), keepdims=True)
+
+                if not find_closest:
+                    # all groups fully occluded -> whole-tile early out
+                    done_ref[0] = (jnp.sum(
+                        jnp.max(tlim_ref[0:1, 0:ng], axis=(0, 1),
+                                keepdims=True)) < 0).astype(jnp.int32)
+
+            n_vis = n_vis + active.astype(jnp.int32)
+            if DEBUG_COUNTERS:
+                pc = jnp.int32(0)
+                for g in range(ng):
+                    pc = pc + ((gm >> g) & 1)
+                n_leaf = n_leaf + jnp.where(take_leaf, 1024 + pc, 0)
+            else:
+                n_leaf = n_leaf + take_leaf.astype(jnp.int32)
+            cur = jnp.where(active, nxt, cur)
+            return cur, n_vis, n_leaf
+
+        st = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+        st = jax.lax.while_loop(cond, step, st)
+        _, n_vis, n_leaf = st
+        if DEBUG_COUNTERS:
+            cnt_ref[:, :] = jnp.full((rows, TILE_LANES), 1,
+                                     jnp.int32) * (n_vis * 65536
+                                                   + n_leaf)
+
+    return kernel
+
+
 @functools.partial(jax.jit,
                    static_argnames=("m_real", "leaf_size", "t_min",
                                     "find_closest"))
@@ -479,10 +814,21 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
     nodes_in_vmem = flat_nodes.size <= MAX_NODE_F32
     tris_in_vmem = ((flat_nodes.size if nodes_in_vmem else 0)
                     + flat_tris.size) <= MAX_VMEM_F32
-    kernel = _make_kernel(m_real, leaf_size, t_min, find_closest,
-                          tris_in_vmem=tris_in_vmem,
-                          octant=flat_nodes.ndim == 4,
-                          nodes_in_vmem=nodes_in_vmem)
+    use_frustum = (FRUSTUM and WALKS == 1 and TILE_ROWS % 8 == 0
+                   and 1 <= TILE_ROWS // 8 <= 9
+                   and m_real < (1 << 20)       # cursor packing bound
+                   and flat_nodes.ndim != 4     # no octant tables
+                   and not SPEC and PROBE == "")
+    if use_frustum:
+        kernel = _make_kernel_frustum(m_real, leaf_size, t_min,
+                                      find_closest,
+                                      tris_in_vmem=tris_in_vmem,
+                                      nodes_in_vmem=nodes_in_vmem)
+    else:
+        kernel = _make_kernel(m_real, leaf_size, t_min, find_closest,
+                              tris_in_vmem=tris_in_vmem,
+                              octant=flat_nodes.ndim == 4,
+                              nodes_in_vmem=nodes_in_vmem)
 
     ray_spec = pl.BlockSpec((BLOCK_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -499,6 +845,11 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
             pltpu.VMEM((WALKS, 8, TILE_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((WALKS,)),
             pltpu.SMEM((WALKS,), jnp.int32),
+        ]
+    if use_frustum:
+        scratch_shapes += [
+            pltpu.VMEM((1, TILE_LANES), jnp.float32),  # per-group tlim
+            pltpu.SMEM((1,), jnp.int32),               # shadow done
         ]
     n_out = 5 if DEBUG_COUNTERS else 4
     out_shape = [

@@ -31,6 +31,56 @@ def from_blocks(x: jnp.ndarray, h: int, w: int, bh: int, bw: int):
     return x.reshape((h * w,) + tail)
 
 
+def walk_block_geometry(tile_rows: int, walks: int):
+    """Pixel geometry for the per-walk nested ordering: each WALK (a
+    (tile_rows, 128)-lane register tile = tile_rows*128 rays) owns a
+    compact (ph, pw) pixel block, and the walks of one kernel block
+    tile a (gh*ph, gw*pw) screen region.  Returns (ph, pw, gh, gw), or
+    None when no square-ish mapping exists.
+
+    Small square walk blocks are what make independent walks pay off:
+    a 32x32 block's frustum intersects ~2-3x fewer BVH leaves than the
+    8x128 strip the plain (8,128) layout would give the same rays."""
+    rays = tile_rows * 128
+    ph = 1
+    while ph * ph < rays:
+        ph *= 2
+    pw = rays // ph                       # ph x pw, pw >= ph, both pow2
+    if ph * pw != rays:
+        return None
+    # Arrange the walks of a block in a near-square gh x gw grid.
+    gh = 1
+    while gh * gh < walks:
+        gh *= 2
+    gw = walks // gh
+    if gh * gw != walks:
+        return None
+    return ph, pw, gh, gw
+
+
+def to_walk_blocks(x: jnp.ndarray, h: int, w: int, ph: int, pw: int,
+                   gh: int, gw: int):
+    """Nested pixel-block reorder: consecutive ph*pw rays form a
+    (ph, pw) pixel block (one traversal WALK), and consecutive gh*gw
+    such blocks tile a (gh*ph, gw*pw) region (one kernel grid block).
+    Pure reshape/transpose — free on TPU."""
+    tail = x.shape[1:]
+    H1, W1 = gh * ph, gw * pw
+    x = x.reshape((h // H1, gh, ph, w // W1, gw, pw) + tail)
+    x = x.transpose((0, 3, 1, 4, 2, 5) + tuple(range(6, 6 + len(tail))))
+    return x.reshape((h * w,) + tail)
+
+
+def from_walk_blocks(x: jnp.ndarray, h: int, w: int, ph: int, pw: int,
+                     gh: int, gw: int):
+    """Inverse of to_walk_blocks."""
+    tail = x.shape[1:]
+    H1, W1 = gh * ph, gw * pw
+    x = x.reshape((h // H1, w // W1, gh, gw, ph, pw) + tail)
+    x = x.transpose((0, 2, 4, 1, 3, 5) + tuple(range(6, 6 + len(tail))))
+    return x.reshape((h * w,) + tail)
+
+
 @functools.lru_cache(maxsize=32)
 def block_order(h: int, w: int, bh: int, bw: int):
     """Permutation mapping block-major order -> row-major flat index.

@@ -156,3 +156,58 @@ def test_spp_above_two_renders():
                  Camera(position=(0.0, -1.0, -6.0)), cfg)
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_walk_block_ordering_roundtrip():
+    """to_walk_blocks: each 1024-ray chunk is one compact pixel block
+    (the per-WALK frustum); inverse restores row-major order."""
+    import numpy as np
+    from hrt_tpu.ops import wavefront as wf
+
+    h, w = 256, 384
+    ph, pw, gh, gw = wf.walk_block_geometry(8, 8)
+    assert (ph, pw, gh, gw) == (32, 32, 4, 2)
+    x = jnp.arange(h * w, dtype=jnp.int32)
+    y = wf.to_walk_blocks(x, h, w, ph, pw, gh, gw)
+    assert (wf.from_walk_blocks(y, h, w, ph, pw, gh, gw) == x).all()
+    c = np.asarray(y).reshape(-1, ph * pw)
+    ys, xs = c // w, c % w
+    assert (ys.max(1) - ys.min(1) == ph - 1).all()
+    assert (xs.max(1) - xs.min(1) == pw - 1).all()
+
+
+def test_walk_block_render_parity():
+    """Rendering with the nested walk-block ray order (8 independent
+    32x32-block walks per kernel block) must match the unblocked
+    order (same rays, same per-ray math).  Subprocess because the
+    kernel geometry constants are bound at import time."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax; jax.config.update('jax_platforms', 'cpu')
+import numpy as np, jax.numpy as jnp, dataclasses
+import bench
+from hrt_tpu.config import RenderConfig
+from hrt_tpu.models.camera import Camera
+from hrt_tpu.renderer import camera_arrays, render_frame
+from hrt_tpu.ops import lbvh
+scene = bench.build_bench_scene().build()
+accel = lbvh.build_bvh_sah(scene, leaf_size=16)
+cfg = RenderConfig(width=512, height=384, max_depth=1, sky=True)
+cams = camera_arrays(Camera(position=(0,-1,-6), rotation=(-0.15,0,0)), cfg)
+img = np.asarray(render_frame(scene, accel, cams, jnp.uint32(0), cfg))
+ref = np.asarray(render_frame(scene, accel, cams, jnp.uint32(0),
+                              dataclasses.replace(cfg, block_reorder=False)))
+assert np.abs(img - ref).max() < 1e-3, np.abs(img - ref).max()
+print('parity-ok')
+"""
+    env = dict(os.environ, HRT_TILE_ROWS="8", HRT_WALKS="8",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "parity-ok" in out.stdout
