@@ -53,6 +53,12 @@ class RenderConfig:
     # bvh past 32 lights.  Only applies when light_samples > 0.
     light_sampler: str = "auto"
     accumulate: bool = False         # temporal accumulation across frames
+    # Trace finite-light shadow rays FROM the light toward the surface
+    # (same segment, same answer): every ray in a pixel block then
+    # shares one origin, so shadow packets are tight point-source
+    # frusta instead of sign-mixed converging fans (renderer.
+    # _shadow_segment; big win for packet/frustum traversal).
+    shadow_from_light: bool = True
 
     @property
     def num_pixels(self) -> int:

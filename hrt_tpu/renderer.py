@@ -272,10 +272,10 @@ def _direct_bvh_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
         if ray_mask is not None:
             relevant = relevant & ray_mask
         so = world_pos + n * config.normal_offset
-        reach = jnp.where(unb, INF, v3.length(ldir))
-        st = jnp.where(relevant, reach, -1.0)
-        occluded = trace_any_p(scene, accel, so, l, config.t_min, st,
-                               config)
+        o_s, d_s, st = _shadow_segment(so, world_pos, ldir, l, unb,
+                                       relevant, config)
+        occluded = trace_any_p(scene, accel, o_s, d_s, config.t_min,
+                               st, config)
         vis = 1.0 - occluded.astype(jnp.float32)
         contrib = f * lcol * (lint * vis / jnp.maximum(pdf, 1e-9))
         out = out + v3.where(relevant, contrib, _zero3(n.x))
@@ -305,7 +305,7 @@ def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
         lum = v3.luminance(lcol)
         w = ndotl * lint * (lum + 1e-3)
         w = jnp.where(lint >= config.light_threshold, w, 0.0) + 1e-12
-        ls.append((l, lcol, lint))
+        ls.append((l, lcol, lint, ldir, unb))
         reaches.append(jnp.where(unb, INF, v3.length(ldir)))
         ws.append(w)
 
@@ -347,14 +347,45 @@ def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
         if ray_mask is not None:
             relevant = relevant & ray_mask
         so = world_pos + n * config.normal_offset
-        reach = sel(reaches)
-        st = jnp.where(relevant, reach, -1.0)
-        occluded = trace_any_p(scene, accel, so, l, config.t_min, st,
-                               config)
+        ldir_pick = V3(sel([t[3].x for t in ls]),
+                       sel([t[3].y for t in ls]),
+                       sel([t[3].z for t in ls]))
+        unb_pick = sel([jnp.broadcast_to(t[4], w_pick.shape)
+                        for t in ls])
+        o_s, d_s, st = _shadow_segment(so, world_pos, ldir_pick, l,
+                                       unb_pick, relevant, config)
+        occluded = trace_any_p(scene, accel, o_s, d_s, config.t_min,
+                               st, config)
         vis = 1.0 - occluded.astype(jnp.float32)
         contrib = f * lcol * (lint * vis / jnp.maximum(pdf, 1e-9))
         out = out + v3.where(relevant, contrib, _zero3(n.x))
     return out * (1.0 / jnp.float32(s_count)), seed
+
+
+
+def _shadow_segment(so: V3, world_pos: V3, ldir: V3, l: V3, unb,
+                    relevant, config: RenderConfig):
+    """Shadow ray parameterization for the occlusion query.
+
+    With shadow_from_light (default), finite-light shadow rays are
+    traced FROM THE LIGHT toward the offset surface point: the same
+    segment, so the same occlusion answer, but every ray in a pixel
+    block then shares ONE origin — bundles become tight point-source
+    frusta instead of sign-mixed converging fans (which blow up the
+    frustum kernel's interval bounds and also widen classic packet
+    tests).  Directions stay unnormalized (t in [t_min, 1]).
+    Directional lights (unbounded reach) keep the surface-origin form.
+    Returns (o, d, st).
+    """
+    reach = jnp.where(unb, INF, v3.length(ldir))
+    if not config.shadow_from_light:
+        return so, l, jnp.where(relevant, reach, -1.0)
+    lo = world_pos + ldir           # the light's position
+    d_back = so - lo                # light -> offset surface point
+    o = v3.where(unb, so, lo)
+    d = v3.where(unb, l, d_back)
+    st = jnp.where(relevant, jnp.where(unb, INF, 1.0), -1.0)
+    return o, d, st
 
 
 def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
@@ -394,26 +425,28 @@ def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
             relevant = relevant & ray_mask
         # Directional lights shadow to infinity (testShadow's TMax,
         # ref: raytracing.slang:61); others to the light's distance.
-        reach = jnp.where(unb, INF, v3.length(ldir))
-        st = jnp.where(relevant, reach, -1.0)  # -1 = dead lane
+        shadow_o = world_pos + n * config.normal_offset
+        o_s, d_s, st = _shadow_segment(shadow_o, world_pos, ldir, l,
+                                       unb, relevant, config)
         contrib = f * lcol * lint
-        per_light.append((l, st, relevant, contrib))
+        per_light.append((o_s, d_s, st, relevant, contrib))
 
     # Shadow rays (ref: testShadow, raytracing.slang:56-70), flattened
     # LIGHT-major in one trace call.
-    shadow_o = world_pos + n * config.normal_offset
     cat = jnp.concatenate
-    sd = V3(cat([p[0].x for p in per_light]),
+    so = V3(cat([p[0].x for p in per_light]),
             cat([p[0].y for p in per_light]),
             cat([p[0].z for p in per_light]))
-    so = shadow_o.map(lambda a: jnp.tile(a, num_lights))
-    st = cat([p[1] for p in per_light])
+    sd = V3(cat([p[1].x for p in per_light]),
+            cat([p[1].y for p in per_light]),
+            cat([p[1].z for p in per_light]))
+    st = cat([p[2] for p in per_light])
     occluded = trace_any_p(scene, accel, so, sd, config.t_min, st,
                            config)
 
     nrays = n.x.shape[0]
     out = _zero3(n.x)
-    for i, (_, _, relevant, contrib) in enumerate(per_light):
+    for i, (_, _, _, relevant, contrib) in enumerate(per_light):
         vis = 1.0 - occluded[i * nrays:(i + 1) * nrays].astype(
             jnp.float32)
         out = out + v3.where(relevant, contrib * vis, _zero3(n.x))
@@ -685,14 +718,39 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
         bh = traversal_pallas.TILE_ROWS
         bw = traversal_pallas.TILE_LANES
         # Pixel-block reorder: each traversal tile then sees a compact
-        # (bh, bw) image block instead of a thin strip — measured ~30%
-        # fewer leaf visits.  Pure reshape/transpose, no gathers.
-        blocked = (config.block_reorder
-                   and config.traversal in ("pallas", "auto")
-                   and accel is not None
-                   and rows % bh == 0 and w % bw == 0)
+        # image block instead of a thin strip — measured ~30% fewer
+        # leaf visits.  Pure reshape/transpose, no gathers.  With
+        # multiple independent walks per kernel block (HRT_WALKS > 1)
+        # the nested ordering gives each WALK its own square-ish
+        # pixel block (e.g. 8 rows x 8 walks -> 32x32 blocks), which is
+        # what makes small-tile walks pay: leaf work runs only in the
+        # walk whose frustum actually overlaps the leaf.
+        want_block = (config.block_reorder
+                      and config.traversal in ("pallas", "auto")
+                      and accel is not None)
+        geom = None
+        if want_block and traversal_pallas.WALKS > 1:
+            g = wavefront.walk_block_geometry(bh, traversal_pallas.WALKS)
+            if (g is not None and rows % (g[2] * g[0]) == 0
+                    and w % (g[3] * g[1]) == 0):
+                geom = g
+        elif (want_block and traversal_pallas.FRUSTUM
+              and bh % 8 == 0 and bh > 8):
+            # Frustum walk: square 32x32 blocks per (8,128) ray GROUP
+            # (the kernel's interval-bound granularity) — strip groups
+            # make the conservative bounds uselessly wide.
+            g = wavefront.walk_block_geometry(8, bh // 8)
+            if (g is not None and rows % (g[2] * g[0]) == 0
+                    and w % (g[3] * g[1]) == 0):
+                geom = g
+        blocked = want_block and (geom is not None
+                                  or (rows % bh == 0 and w % bw == 0))
         if blocked:
-            tob = lambda x: wavefront.to_blocks(x, rows, w, bh, bw)
+            if geom is not None:
+                tob = lambda x: wavefront.to_walk_blocks(
+                    x, rows, w, *geom)
+            else:
+                tob = lambda x: wavefront.to_blocks(x, rows, w, bh, bw)
             o, d = o.map(tob), d.map(tob)
             seeds_flat = tob(seeds_flat)
 
@@ -703,7 +761,11 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
         if take_gb:
             gbuffer = out[1]
         if blocked:
-            unb = lambda x: wavefront.from_blocks(x, rows, w, bh, bw)
+            if geom is not None:
+                unb = lambda x: wavefront.from_walk_blocks(
+                    x, rows, w, *geom)
+            else:
+                unb = lambda x: wavefront.from_blocks(x, rows, w, bh, bw)
             rad = rad.map(unb)
             if take_gb:
                 gbuffer = {k: unb(v) for k, v in gbuffer.items()}
