@@ -137,14 +137,18 @@ class TemporalUpscalerNet(nn.Module):
     """2x reconstruction from (current LR, reprojected HR history).
 
     Head predicts a 2x2 pixel-shuffled residual over the bilinear
-    upsample plus a sigmoid blend alpha toward the history."""
+    upsample plus a sigmoid blend alpha toward the history.  The
+    history carries an explicit VALIDITY channel (reprojection in
+    bounds AND surface hit) so the net can tell "black because
+    disoccluded" from "black because dark"."""
 
     features: int = 32
     depth: int = 3
 
     @nn.compact
     def __call__(self, lr, hist):
-        """lr: (..., h, w, 3); hist: (..., 2h, 2w, 3) -> (..., 2h, 2w, 3)."""
+        """lr: (..., h, w, 3); hist: (..., 2h, 2w, 4) rgb+validity
+        -> (..., 2h, 2w, 3)."""
         h, w = lr.shape[-3], lr.shape[-2]
         up = jax.image.resize(
             lr, lr.shape[:-3] + (2 * h, 2 * w, 3), method="bilinear")
@@ -162,7 +166,9 @@ class TemporalUpscalerNet(nn.Module):
         residual = shuffle(head[..., :12], 3)
         alpha = nn.sigmoid(shuffle(head[..., 12:16], 1))
         spatial = up + residual
-        return spatial + alpha * (hist - spatial)
+        hist_rgb = hist[..., :3]
+        valid = hist[..., 3:4]
+        return spatial + alpha * valid * (hist_rgb - spatial)
 
 
 def create_temporal(rng_key=None, features: int = 32, depth: int = 3,
@@ -172,7 +178,7 @@ def create_temporal(rng_key=None, features: int = 32, depth: int = 3,
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     params = net.init(rng_key, jnp.zeros((1, 32, 32, 3), jnp.float32),
-                      jnp.zeros((1, 64, 64, 3), jnp.float32))
+                      jnp.zeros((1, 64, 64, 4), jnp.float32))
     tx = optax.adam(lr)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
@@ -203,8 +209,9 @@ def reproject_history(hist: jnp.ndarray, world_pos, hit_mask, prev_cam,
     world_pos/hit_mask: current-frame G-buffer at RENDER res (H, W, *)
     — resized to the HR grid (surfaces are locally smooth, so bilinear
     motion is accurate away from silhouettes; the net's alpha channel
-    handles the rest).  Out-of-bounds or miss pixels get zero history
-    (the net learns to ignore it there)."""
+    handles the rest).  Returns (2H, 2W, 4): warped rgb + a validity
+    channel (0 where out of bounds / miss — lets the net distinguish
+    disocclusion from darkness)."""
     from ..ops.denoise import _bilinear, _project
 
     h2, w2 = hist.shape[0], hist.shape[1]
@@ -222,11 +229,12 @@ def reproject_history(hist: jnp.ndarray, world_pos, hit_mask, prev_cam,
                          w2, h2)
     val, inb = _bilinear(hist, px, py)
     ok = (inb & (hm > 0.5))[..., None]
-    return jnp.where(ok, val, 0.0)
+    return jnp.concatenate(
+        [jnp.where(ok, val, 0.0), ok.astype(jnp.float32)], axis=-1)
 
 
 def upscale_temporal(net, params, img: jnp.ndarray,
                      hist: jnp.ndarray) -> jnp.ndarray:
     """Apply the temporal upscaler to one (H, W, 3) frame with a
-    reprojected (2H, 2W, 3) history."""
+    reprojected (2H, 2W, 4) rgb+validity history."""
     return net.apply(params, img[None], hist[None])[0]

@@ -130,9 +130,12 @@ def _corrupt_history(hist, key):
     blocks = jax.random.uniform(k2, (b, h // 16, w // 16, 1)) < 0.1
     blocks = jax.image.resize(blocks.astype(jnp.float32),
                               (b, h, w, 1), method="nearest")
-    # Mild multiplicative noise (accumulated-error simulation).
+    # Mild multiplicative noise on the rgb (accumulated-error
+    # simulation); dropout zeroes rgb AND the validity channel.
     noise = 1.0 + 0.05 * jax.random.normal(k3, (b, h, w, 1))
-    out = hist * noise * (1.0 - blocks)
+    rgb = hist[..., :3] * noise * (1.0 - blocks)
+    valid = hist[..., 3:] * (1.0 - blocks)
+    out = jnp.concatenate([rgb, valid], axis=-1)
     return jnp.where(zero, 0.0, out)
 
 
@@ -148,7 +151,7 @@ def crops(key, lr, hist, hr, crop=64, batch=8):
             i, y, x = args
             return jax.lax.dynamic_slice(
                 img_stack[i], (y * scale, x * scale, 0),
-                (crop * scale, crop * scale, 3))
+                (crop * scale, crop * scale, img_stack.shape[-1]))
         return jax.vmap(one)((fi, ys, xs))
 
     return take(lr, 1), _corrupt_history(take(hist, 2), kc), take(hr, 2)
@@ -176,7 +179,7 @@ def eval_temporal(net_t, params_t, net_s, params_s, lrs, wps, hits,
                 hist, wps[t], hits[t], cams_list[t - 1], w2 // 2,
                 h2 // 2)
         else:
-            warped = jnp.zeros_like(hist)
+            warped = jnp.zeros(hist.shape[:-1] + (4,), jnp.float32)
         out_t = upscaler.upscale_temporal(net_t, params_t, lr, warped)
         hist = out_t
         out_s = upscaler.upscale(net_s, params_s, lr)
@@ -188,11 +191,64 @@ def eval_temporal(net_t, params_t, net_s, params_s, lrs, wps, hits,
     return float(np.mean(p_t)), float(np.mean(p_s)), float(np.mean(p_b))
 
 
+
+
+def recurrent_finetune(net, state, tx, seqs, steps, log_every=20):
+    """Fine-tune on full sequences run RECURRENTLY: history is the
+    model's own previous output warped by the real G-buffer motion —
+    the exact inference condition of FrameLoop's temporal mode."""
+    import functools
+    from hrt_tpu.models import upscaler
+
+    @functools.partial(jax.jit, static_argnames=("net", "tx"))
+    def seq_step(state, net, tx, lrs, wps, hits, cam_stack, cleans):
+        def loss_fn(params):
+            h2, w2 = cleans.shape[1], cleans.shape[2]
+            tm = lambda x: x / (1.0 + jnp.abs(x))
+            hist = jnp.zeros((h2, w2, 3), jnp.float32)
+            total = 0.0
+            for t in range(lrs.shape[0]):
+                if t == 0:
+                    warped = jnp.zeros((h2, w2, 4), jnp.float32)
+                else:
+                    warped = upscaler.reproject_history(
+                        hist, wps[t], hits[t],
+                        jax.tree_util.tree_map(lambda a: a[t - 1],
+                                               cam_stack),
+                        w2 // 2, h2 // 2)
+                pred = net.apply(params, lrs[t][None], warped[None])[0]
+                diff = tm(pred) - tm(cleans[t])
+                total = total + jnp.mean(jnp.sqrt(diff * diff + 1e-6))
+                hist = pred
+            return total / lrs.shape[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return upscaler.TrainState(params, opt_state, state.step + 1), \
+            loss
+
+    import optax
+    from hrt_tpu.models.upscaler import TrainState  # noqa: F401
+    t0 = time.time()
+    for step in range(steps):
+        for (lrs, wps, hits, cams_list, cleans) in seqs:
+            cam_stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *cams_list)
+            state, loss = seq_step(state, net, tx, lrs, wps, hits,
+                                   cam_stack, cleans)
+        if step % log_every == 0 or step == steps - 1:
+            print(f"recurrent step {step}: loss {float(loss):.5f} "
+                  f"({time.time() - t0:.0f}s)")
+    return state
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--temporal", action="store_true")
+    ap.add_argument("--recurrent-steps", type=int, default=60)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -241,6 +297,10 @@ def main():
         if step % 50 == 0 or step == args.steps - 1:
             print(f"step {step}: loss {float(loss):.5f} "
                   f"({time.time() - t0:.0f}s)")
+    if args.recurrent_steps:
+        print("recurrent fine-tune (inference-condition unroll)...")
+        state = recurrent_finetune(net, state, tx, seqs,
+                                   args.recurrent_steps)
     save_params(os.path.abspath(out), state.params)
     print("saved to", out)
 

@@ -54,7 +54,7 @@ def test_temporal_shape_and_blend():
     net, state, _ = upscaler.create_temporal()
     rs = np.random.RandomState(2)
     lr = jnp.asarray(rs.uniform(0, 1, (24, 32, 3)).astype(np.float32))
-    hist = jnp.asarray(rs.uniform(0, 1, (48, 64, 3)).astype(np.float32))
+    hist = jnp.asarray(rs.uniform(0, 1, (48, 64, 4)).astype(np.float32))
     out = upscaler.upscale_temporal(net, state.params, lr, hist)
     assert out.shape == (48, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
@@ -69,13 +69,14 @@ def test_temporal_train_step_reduces_loss():
     net, state, tx = upscaler.create_temporal(lr=3e-3)
     rs = np.random.RandomState(3)
     hr = jnp.asarray(rs.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    hist = jnp.concatenate([hr, jnp.ones(hr.shape[:-1] + (1,))], -1)
     lr_b = upscaler.downsample2(hr)
     noisy_lr = lr_b + 0.1 * jnp.asarray(
         rs.normal(0, 1, lr_b.shape).astype(np.float32))
     losses = []
     for i in range(30):
         state, loss = upscaler.train_step_temporal(state, net, tx,
-                                                   noisy_lr, hr, hr)
+                                                   noisy_lr, hist, hr)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
 
@@ -102,8 +103,10 @@ def test_reproject_history_static_camera_identity():
     hist = jnp.asarray(rs.uniform(0, 1, (2 * h, 2 * w, 3))
                        .astype(np.float32))
     warped = upscaler.reproject_history(hist, wp, hit, cams, w, h)
+    assert warped.shape == (2 * h, 2 * w, 4)
+    assert float(warped[..., 3].min()) >= 0.0
     # Interior pixels must round-trip exactly (borders feel the resize).
-    inner = np.asarray(warped)[8:-8, 8:-8]
+    inner = np.asarray(warped)[8:-8, 8:-8, :3]
     ref = np.asarray(hist)[8:-8, 8:-8]
     np.testing.assert_allclose(inner, ref, rtol=2e-2, atol=2e-2)
 
