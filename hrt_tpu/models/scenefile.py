@@ -86,9 +86,16 @@ def scene_from_dict(spec: dict) -> Scene:
         mat_ids[name] = sc.create_material(color, metallic, roughness,
                                            emissive, strength, **m)
 
+    from . import lights as lights_mod
+
+    ltypes = {"point": lights_mod.POINT, "spot": lights_mod.SPOT,
+              "directional": lights_mod.DIRECTIONAL}
     for li in spec.get("lights", []):
         sc.create_light(tuple(li["position"]), tuple(li["color"]),
-                        li["intensity"])
+                        li["intensity"],
+                        light_type=ltypes[li.get("type", "point")],
+                        direction=tuple(li.get("direction", (0, 0, 0))),
+                        cone_angle=li.get("cone_angle", 0.0))
 
     for inst in spec.get("instances", []):
         sc.create_instance(

@@ -80,6 +80,10 @@ PROBE = os.environ.get("HRT_PROBE", "")
 # 0.38 us/visit).  Exact: the interval test over-approximates the
 # per-ray any(), and leaves run exact per-ray Moller tests.
 FRUSTUM = bool(int(os.environ.get("HRT_FRUSTUM", "0")))
+# Software-pipelined 2-node walk (see _make_kernel_pipe2): decide two
+# nodes per iteration from prefetched candidate records; only a short
+# fetch->meta->crossing chain stays serial.
+PIPE2 = bool(int(os.environ.get("HRT_PIPE2", "0")))
 # Octant-ordered traversal: when the accel carries the 8 near-first
 # DFS tables (FlatBVH.nodes_oct), each walk picks the table matching
 # its first ray's direction octant.  MEASURED NO WIN on the bench
@@ -559,6 +563,206 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
     return kernel
 
 
+def _make_kernel_pipe2(m_real: int, leaf_size: int, t_min: float,
+                       find_closest: bool, tris_in_vmem: bool = True):
+    """Software-pipelined 2-node packet walk (HRT_PIPE2=1).
+
+    The probe decomposition (see ROADMAP round-2 campaign) showed the
+    classic walk pays ~0.95 us/visit of serial stall: the next fetch
+    index waits on the full decode->slab->reduce chain.  Here each
+    iteration decides TWO nodes — `cur` (record prefetched last
+    iteration) and its chosen successor (records of BOTH candidates
+    cur+1 and skip(cur) also prefetched, slab-tested speculatively,
+    selected in vector registers) — and the only work left on the
+    critical path is fetch(nxt2) -> meta extract -> skip crossing to
+    start the next prefetches (the "shortchain" structure, measured
+    0.38 us).  One wasted speculative slab per iteration is the price.
+
+    Exactness: identical decisions to the classic walk, except the
+    successor's slab test uses best_t as of iteration START (leaf hits
+    of `cur` land after) — conservative only (may visit nodes the
+    classic walk would cull), never skips a required node.  Leaves are
+    processed in walk order with per-ray Moller tests as usual.
+    """
+    rows = TILE_ROWS
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+               nodes_ref, tris_ref, t_ref, tri_ref, u_ref, v_ref,
+               *rest):
+        if DEBUG_COUNTERS:
+            cnt_ref, *rest = rest
+        rest = list(rest)
+        scratch = [rest.pop(0), rest.pop(0)] if not tris_in_vmem else []
+        fetch = _row_fetcher(nodes_ref, m_real)
+        tiny = jnp.float32(1e-20)
+        tmin = jnp.float32(t_min)
+
+        def inv(c):
+            safe = jnp.where(jnp.abs(c) < tiny,
+                             jnp.where(c < 0, -tiny, tiny), c)
+            return 1.0 / safe
+
+        ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+        dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        oix, oiy, oiz = ox * ix, oy * iy, oz * iz
+
+        def decode(rec, lane_v):
+            """_node_decode with an explicit (possibly vector) lane."""
+            r = _record_extract(rec, lane_v)
+            box = [r[:, c, :] for c in range(6)]
+            mask = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 2, TILE_LANES), 2) == lane_v
+            meta = jnp.sum(jnp.where(mask,
+                                     pltpu.bitcast(rec[:, 6:8, :],
+                                                   jnp.int32), 0),
+                           axis=2, keepdims=True)
+            return box, meta[:, 0, :], meta[:, 1, :]
+
+        def slab_any(box, best_t):
+            hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin,
+                             best_t)
+            return jnp.any(hit, axis=(0, 1), keepdims=True)
+
+        def do_leaf(leaf_vv, args):
+            best_t, best_i, bu, bv, done = args
+            start = jnp.maximum(jnp.sum(leaf_vv) - 1, 0)
+            lane0 = start % TILE_LANES
+            if tris_in_vmem:
+                rec = _leaf_fetch(tris_ref, start)
+            else:
+                rec = _leaf_fetch(tris_ref, start, scratch[0],
+                                  scratch[1])
+            unroll = min(LEAF_UNROLL, leaf_size)
+            while leaf_size % unroll:
+                unroll -= 1
+
+            def tri_body(gk, args):
+                best_t, best_i, bu, bv = args
+                for kk in range(unroll):
+                    k = gk * unroll + kk
+                    tri = _tri_vecs(rec, lane0 + k)
+                    h, t, u, v = _moller(tri, ox, oy, oz, dx, dy, dz,
+                                         tmin, best_t)
+                    best_i = jnp.where(h, start + k, best_i)
+                    if find_closest:
+                        bu = jnp.where(h, u, bu)
+                        bv = jnp.where(h, v, bv)
+                        best_t = jnp.where(h, t, best_t)
+                return best_t, best_i, bu, bv
+
+            best_t, best_i, bu, bv = jax.lax.fori_loop(
+                0, leaf_size // unroll, tri_body,
+                (best_t, best_i, bu, bv))
+            if not find_closest:
+                occ = best_i >= 0
+                best_t = jnp.where(occ, jnp.float32(-1.0), best_t)
+                done = jnp.all(occ)
+            return best_t, best_i, bu, bv, done
+
+        def walk_active(st):
+            cur = st[0]
+            if find_closest:
+                return cur < m_real
+            return (cur < m_real) & jnp.logical_not(st[7])
+
+        def step(st):
+            (cur, best_t, best_i, bu, bv, n_vis, n_leaf, done,
+             R_cur, R_A, R_B) = st
+            active = walk_active(st)
+            curc = jnp.minimum(cur, m_real - 1)
+
+            # Decode all three prefetched records (B's lane comes from
+            # cur's skip value, still in vector registers).
+            boxC, leafC_v, skipC_v = decode(R_cur, curc % TILE_LANES)
+            boxA, leafA_v, skipA_v = decode(
+                R_A, jnp.minimum(cur + 1, m_real - 1) % TILE_LANES)
+            laneB_v = jnp.minimum(skipC_v, m_real - 1) % TILE_LANES
+            boxB, leafB_v, skipB_v = decode(R_B, laneB_v)
+
+            anyC = slab_any(boxC, best_t)
+            anyA = slab_any(boxA, best_t)
+            anyB = slab_any(boxB, best_t)
+
+            isleafC = leafC_v > 0
+            dC = anyC & jnp.logical_not(isleafC)
+            take1_v = anyC & isleafC
+            nxt1_v = jnp.where(dC, cur + 1, skipC_v)
+
+            any1 = jnp.where(dC, anyA, anyB)
+            leaf1_v = jnp.where(dC, leafA_v, leafB_v)
+            skip1_v = jnp.where(dC, skipA_v, skipB_v)
+            valid1 = nxt1_v < m_real
+            isleaf1 = leaf1_v > 0
+            d1 = any1 & jnp.logical_not(isleaf1) & valid1
+            take2_v = any1 & isleaf1 & valid1
+            nxt2_v = jnp.where(valid1,
+                               jnp.where(d1, nxt1_v + 1, skip1_v),
+                               nxt1_v)
+
+            # ONE packed crossing for both decisions.
+            p = jnp.sum(nxt2_v * 8 + valid1.astype(jnp.int32) * 4
+                        + take2_v.astype(jnp.int32) * 2
+                        + take1_v.astype(jnp.int32))
+            tl1 = active & ((p & 1) == 1)
+            tl2 = active & ((p & 2) == 2)
+            v1 = (p >> 2) & 1
+            nxt2 = p >> 3
+
+            best_t, best_i, bu, bv, done = jax.lax.cond(
+                tl1, lambda a: do_leaf(leafC_v, a), lambda a: a,
+                (best_t, best_i, bu, bv, done))
+            best_t, best_i, bu, bv, done = jax.lax.cond(
+                tl2, lambda a: do_leaf(leaf1_v, a), lambda a: a,
+                (best_t, best_i, bu, bv, done))
+
+            # Prefetch chain for the next iteration: fetch(nxt2), pull
+            # only its skip (shortchain), then both candidates.
+            R_curN = fetch(nxt2)
+            nxtc = jnp.minimum(nxt2, m_real - 1)
+            maskN = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, TILE_LANES), 2) == nxtc % TILE_LANES
+            skipN = jnp.sum(jnp.where(
+                maskN, pltpu.bitcast(R_curN[:, 7:8, :], jnp.int32), 0))
+            R_AN = fetch(nxt2 + 1)
+            R_BN = fetch(skipN)
+
+            n_vis = n_vis + jnp.where(active, 1 + v1, 0)
+            n_leaf = (n_leaf + tl1.astype(jnp.int32)
+                      + tl2.astype(jnp.int32))
+            cur = jnp.where(active, nxt2, cur)
+            R_cur = jnp.where(active, R_curN, R_cur)
+            R_A = jnp.where(active, R_AN, R_A)
+            R_B = jnp.where(active, R_BN, R_B)
+            return (cur, best_t, best_i, bu, bv, n_vis, n_leaf, done,
+                    R_cur, R_A, R_B)
+
+        # Prologue: prime the three-record pipeline for cur = 0.
+        R0 = fetch(jnp.int32(0))
+        mask0 = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, TILE_LANES), 2) == 0
+        skip0 = jnp.sum(jnp.where(
+            mask0, pltpu.bitcast(R0[:, 7:8, :], jnp.int32), 0))
+        st = (jnp.int32(0), tmax_ref[:, :],
+              jnp.full((rows, TILE_LANES), -1, jnp.int32),
+              jnp.zeros((rows, TILE_LANES), jnp.float32),
+              jnp.zeros((rows, TILE_LANES), jnp.float32),
+              jnp.int32(0), jnp.int32(0), jnp.zeros((), bool),
+              R0, fetch(jnp.int32(1)), fetch(skip0))
+        st = jax.lax.while_loop(walk_active, step, st)
+        _, best_t, best_i, bu, bv, n_vis, n_leaf = st[:7]
+        t_ref[:, :] = best_t
+        tri_ref[:, :] = best_i
+        u_ref[:, :] = bu
+        v_ref[:, :] = bv
+        if DEBUG_COUNTERS:
+            cnt_ref[:, :] = jnp.full((rows, TILE_LANES), 1,
+                                     jnp.int32) * (n_vis * 65536
+                                                   + n_leaf)
+
+    return kernel
+
+
 def _make_kernel_frustum(m_real: int, leaf_size: int, t_min: float,
                          find_closest: bool, tris_in_vmem: bool = True,
                          nodes_in_vmem: bool = True):
@@ -819,7 +1023,15 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tmax, flat_nodes,
                    and m_real < (1 << 20)       # cursor packing bound
                    and flat_nodes.ndim != 4     # no octant tables
                    and not SPEC and PROBE == "")
-    if use_frustum:
+    use_pipe2 = (PIPE2 and not use_frustum and WALKS == 1
+                 and nodes_in_vmem and m_real < (1 << 27)
+                 and flat_nodes.ndim != 4
+                 and not SPEC and PROBE == "")
+    if use_pipe2:
+        kernel = _make_kernel_pipe2(m_real, leaf_size, t_min,
+                                    find_closest,
+                                    tris_in_vmem=tris_in_vmem)
+    elif use_frustum:
         kernel = _make_kernel_frustum(m_real, leaf_size, t_min,
                                       find_closest,
                                       tris_in_vmem=tris_in_vmem,

@@ -111,3 +111,35 @@ def test_yaml_textures():
     assert data.textures.shape[0] == 1
     from hrt_tpu.models.materials import BASE_COLOR_TEX
     assert float(data.materials[0, BASE_COLOR_TEX]) == 0.0
+
+
+def test_shipped_scene_files_load_and_render():
+    """Every YAML in scenes/ loads, builds, and renders a tiny frame
+    (smoke: finite, non-black)."""
+    import glob
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hrt_tpu.config import RenderConfig
+    from hrt_tpu.models.camera import Camera
+    from hrt_tpu.models.scenefile import load_scene_yaml
+    from hrt_tpu.renderer import camera_arrays, render_frame
+    from hrt_tpu.ops import lbvh
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scenes")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 3
+    for p in paths:
+        scene = load_scene_yaml(p).build()
+        accel = lbvh.build_bvh(scene, leaf_size=16)
+        cfg = RenderConfig(width=64, height=48, max_depth=1, sky=True)
+        cams = camera_arrays(
+            Camera(position=(0.0, -1.5, -6.0),
+                   rotation=(-0.15, 0.0, 0.0)), cfg)
+        img = np.asarray(render_frame(scene, accel, cams,
+                                      jnp.uint32(0), cfg))
+        assert np.isfinite(img).all(), p
+        assert img.max() > 0.0, p
