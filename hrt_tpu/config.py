@@ -55,10 +55,14 @@ class RenderConfig:
     accumulate: bool = False         # temporal accumulation across frames
     # Trace finite-light shadow rays FROM the light toward the surface
     # (same segment, same answer): every ray in a pixel block then
-    # shares one origin, so shadow packets are tight point-source
-    # frusta instead of sign-mixed converging fans (renderer.
-    # _shadow_segment; big win for packet/frustum traversal).
-    shadow_from_light: bool = True
+    # shares one origin — tight point-source bundles for the frustum
+    # kernel (HRT_FRUSTUM) experiments.  Default OFF: with the default
+    # packet kernel it buys nothing, and building the per-light origin
+    # planes with concatenate (instead of the tile the off-path uses)
+    # flips XLA's layout assignment for the whole shading graph and
+    # costs ~2.2 ms/frame in relayout squeeze-reduces (measured,
+    # bench scene; see ROADMAP round-2 campaign).
+    shadow_from_light: bool = False
 
     @property
     def num_pixels(self) -> int:

@@ -620,9 +620,12 @@ def _make_kernel_pipe2(m_real: int, leaf_size: int, t_min: float,
             return box, meta[:, 0, :], meta[:, 1, :]
 
         def slab_any(box, best_t):
+            """(1,1) int32 0/1 — i1-valued (1,1) selects downstream hit
+            Mosaic's 'unsupported target bitwidth for truncation'."""
             hit = _slab_test(box, oix, oiy, oiz, ix, iy, iz, tmin,
                              best_t)
-            return jnp.any(hit, axis=(0, 1), keepdims=True)
+            return jnp.any(hit, axis=(0, 1),
+                           keepdims=True).astype(jnp.int32)
 
         def do_leaf(leaf_vv, args):
             best_t, best_i, bu, bv, done = args
@@ -667,9 +670,11 @@ def _make_kernel_pipe2(m_real: int, leaf_size: int, t_min: float,
             return (cur < m_real) & jnp.logical_not(st[7])
 
         def step(st):
+            # Single-walk kernel: the while cond guarantees the walk is
+            # live inside the body, so no `active` gating (the classic
+            # kernel needs it only for multi-walk lockstep).
             (cur, best_t, best_i, bu, bv, n_vis, n_leaf, done,
-             R_cur, R_A, R_B) = st
-            active = walk_active(st)
+             R_cur, R_A, R_B, skipc) = st
             curc = jnp.minimum(cur, m_real - 1)
 
             # Decode all three prefetched records (B's lane comes from
@@ -677,35 +682,37 @@ def _make_kernel_pipe2(m_real: int, leaf_size: int, t_min: float,
             boxC, leafC_v, skipC_v = decode(R_cur, curc % TILE_LANES)
             boxA, leafA_v, skipA_v = decode(
                 R_A, jnp.minimum(cur + 1, m_real - 1) % TILE_LANES)
-            laneB_v = jnp.minimum(skipC_v, m_real - 1) % TILE_LANES
-            boxB, leafB_v, skipB_v = decode(R_B, laneB_v)
+            # B's lane from the SCALAR skip carried since the
+            # prefetch crossing (a vector lane would need a
+            # (1,1)->(1,8,128) broadcast Mosaic can't lower).
+            laneB = jnp.minimum(skipc, m_real - 1) % TILE_LANES
+            boxB, leafB_v, skipB_v = decode(R_B, laneB)
 
             anyC = slab_any(boxC, best_t)
             anyA = slab_any(boxA, best_t)
             anyB = slab_any(boxB, best_t)
 
-            isleafC = leafC_v > 0
-            dC = anyC & jnp.logical_not(isleafC)
-            take1_v = anyC & isleafC
+            isleafC = (leafC_v > 0).astype(jnp.int32)
+            dC = (anyC * (1 - isleafC)) == 1        # bool predicate
+            take1_i = anyC * isleafC
             nxt1_v = jnp.where(dC, cur + 1, skipC_v)
 
-            any1 = jnp.where(dC, anyA, anyB)
+            any1 = jnp.where(dC, anyA, anyB)        # i32 select
             leaf1_v = jnp.where(dC, leafA_v, leafB_v)
             skip1_v = jnp.where(dC, skipA_v, skipB_v)
-            valid1 = nxt1_v < m_real
-            isleaf1 = leaf1_v > 0
-            d1 = any1 & jnp.logical_not(isleaf1) & valid1
-            take2_v = any1 & isleaf1 & valid1
-            nxt2_v = jnp.where(valid1,
+            valid1_i = (nxt1_v < m_real).astype(jnp.int32)
+            isleaf1 = (leaf1_v > 0).astype(jnp.int32)
+            d1 = (any1 * (1 - isleaf1) * valid1_i) == 1
+            take2_i = any1 * isleaf1 * valid1_i
+            nxt2_v = jnp.where(valid1_i == 1,
                                jnp.where(d1, nxt1_v + 1, skip1_v),
                                nxt1_v)
 
             # ONE packed crossing for both decisions.
-            p = jnp.sum(nxt2_v * 8 + valid1.astype(jnp.int32) * 4
-                        + take2_v.astype(jnp.int32) * 2
-                        + take1_v.astype(jnp.int32))
-            tl1 = active & ((p & 1) == 1)
-            tl2 = active & ((p & 2) == 2)
+            p = jnp.sum(nxt2_v * 8 + valid1_i * 4 + take2_i * 2
+                        + take1_i)
+            tl1 = (p & 1) == 1
+            tl2 = (p & 2) == 2
             v1 = (p >> 2) & 1
             nxt2 = p >> 3
 
@@ -727,15 +734,11 @@ def _make_kernel_pipe2(m_real: int, leaf_size: int, t_min: float,
             R_AN = fetch(nxt2 + 1)
             R_BN = fetch(skipN)
 
-            n_vis = n_vis + jnp.where(active, 1 + v1, 0)
+            n_vis = n_vis + 1 + v1
             n_leaf = (n_leaf + tl1.astype(jnp.int32)
                       + tl2.astype(jnp.int32))
-            cur = jnp.where(active, nxt2, cur)
-            R_cur = jnp.where(active, R_curN, R_cur)
-            R_A = jnp.where(active, R_AN, R_A)
-            R_B = jnp.where(active, R_BN, R_B)
-            return (cur, best_t, best_i, bu, bv, n_vis, n_leaf, done,
-                    R_cur, R_A, R_B)
+            return (nxt2, best_t, best_i, bu, bv, n_vis, n_leaf, done,
+                    R_curN, R_AN, R_BN, skipN)
 
         # Prologue: prime the three-record pipeline for cur = 0.
         R0 = fetch(jnp.int32(0))
@@ -748,7 +751,7 @@ def _make_kernel_pipe2(m_real: int, leaf_size: int, t_min: float,
               jnp.zeros((rows, TILE_LANES), jnp.float32),
               jnp.zeros((rows, TILE_LANES), jnp.float32),
               jnp.int32(0), jnp.int32(0), jnp.zeros((), bool),
-              R0, fetch(jnp.int32(1)), fetch(skip0))
+              R0, fetch(jnp.int32(1)), fetch(skip0), skip0)
         st = jax.lax.while_loop(walk_active, step, st)
         _, best_t, best_i, bu, bv, n_vis, n_leaf = st[:7]
         t_ref[:, :] = best_t

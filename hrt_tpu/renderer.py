@@ -215,7 +215,11 @@ def _shade_attrs_p(tab, tri_idx, u, v):
     array-API consumers like the pbr BSDF, (tu, tv) interpolated hit
     UVs for texture sampling)."""
     rows = tab[jnp.maximum(tri_idx, 0)]           # (N, W) single gather
-    rt = rows.T                                   # (W, N) one relayout
+    # optimization_barrier forces the transpose to MATERIALIZE as one
+    # contiguous relayout copy (~0.07 ms); without it XLA may instead
+    # lower every field slice as a strided squeeze-reduce of the
+    # transposed view — measured ~2.5 ms/frame of pure relayout.
+    rt = jax.lax.optimization_barrier(rows.T)     # (W, N) one relayout
     w = 1.0 - u - v
     normal = v3.normalize(V3(
         w * rt[0] + u * rt[3] + v * rt[6],
@@ -411,6 +415,7 @@ def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
     if frame is None:
         frame = v3.orthonormal_basis(n)
 
+    shadow_o = world_pos + n * config.normal_offset
     per_light = []
     for i in range(num_lights):
         ldir, lcol, lint, unb = process_light_one(scene.lights[i],
@@ -425,28 +430,47 @@ def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
             relevant = relevant & ray_mask
         # Directional lights shadow to infinity (testShadow's TMax,
         # ref: raytracing.slang:61); others to the light's distance.
-        shadow_o = world_pos + n * config.normal_offset
-        o_s, d_s, st = _shadow_segment(shadow_o, world_pos, ldir, l,
-                                       unb, relevant, config)
+        if config.shadow_from_light:
+            # Light-origin segment (see _shadow_segment's rationale).
+            # The light position is a CONSTANT broadcast — building
+            # origins from per-ray arrays here flipped XLA's layout
+            # assignment for the whole shading graph and resurrected
+            # ~2.4 ms of pallas-boundary relayout copies (measured).
+            shape = l.x.shape
+            lo = V3(jnp.broadcast_to(scene.lights[i][0], shape),
+                    jnp.broadcast_to(scene.lights[i][1], shape),
+                    jnp.broadcast_to(scene.lights[i][2], shape))
+            o_i = v3.where(unb, shadow_o, lo)
+            d_i = v3.where(unb, l, shadow_o - lo)
+            st = jnp.where(relevant,
+                           jnp.where(unb, INF, 1.0), -1.0)
+        else:
+            o_i = None
+            d_i = l
+            reach = jnp.where(unb, INF, v3.length(ldir))
+            st = jnp.where(relevant, reach, -1.0)  # -1 = dead lane
         contrib = f * lcol * lint
-        per_light.append((o_s, d_s, st, relevant, contrib))
+        per_light.append((d_i, st, relevant, contrib, o_i))
 
     # Shadow rays (ref: testShadow, raytracing.slang:56-70), flattened
     # LIGHT-major in one trace call.
     cat = jnp.concatenate
-    so = V3(cat([p[0].x for p in per_light]),
+    sd = V3(cat([p[0].x for p in per_light]),
             cat([p[0].y for p in per_light]),
             cat([p[0].z for p in per_light]))
-    sd = V3(cat([p[1].x for p in per_light]),
-            cat([p[1].y for p in per_light]),
-            cat([p[1].z for p in per_light]))
-    st = cat([p[2] for p in per_light])
+    st = cat([p[1] for p in per_light])
+    if config.shadow_from_light:
+        so = V3(cat([p[4].x for p in per_light]),
+                cat([p[4].y for p in per_light]),
+                cat([p[4].z for p in per_light]))
+    else:
+        so = shadow_o.map(lambda a: jnp.tile(a, num_lights))
     occluded = trace_any_p(scene, accel, so, sd, config.t_min, st,
                            config)
 
     nrays = n.x.shape[0]
     out = _zero3(n.x)
-    for i, (_, _, _, relevant, contrib) in enumerate(per_light):
+    for i, (_, _, relevant, contrib, _) in enumerate(per_light):
         vis = 1.0 - occluded[i * nrays:(i + 1) * nrays].astype(
             jnp.float32)
         out = out + v3.where(relevant, contrib * vis, _zero3(n.x))

@@ -31,8 +31,11 @@ def capture(frames: int, trace_dir: str) -> None:
     from hrt_tpu.ops import lbvh, wide
     from hrt_tpu.renderer import camera_arrays, render_frame
 
+    import dataclasses
     cfg = RenderConfig(width=512, height=384, max_depth=1, sky=True,
                        traversal="auto")
+    if os.environ.get("HRT_PROFILE_SFL") == "0":
+        cfg = dataclasses.replace(cfg, shadow_from_light=False)
     scene = build_bench_scene().build()
     cams = camera_arrays(Camera(position=(0.0, -1.0, -6.0),
                                 rotation=(-0.15, 0.0, 0.0)), cfg)
