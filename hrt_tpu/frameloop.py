@@ -64,6 +64,15 @@ def frame_program(scene: SceneData, accel, cams: CameraArrays,
             hist = upscaler.reproject_history(
                 up_history, gbuffer["world_pos"], gbuffer["hit"],
                 prev_cams, w, h)
+            # Frame 0 (and right after reset()): up_history is all-zero
+            # and prev_cams == cams, so reprojection would mark hit
+            # pixels "valid" and blend toward black — out of
+            # distribution for the net (training corruption zeroes
+            # validity WITH the rgb).  Gate validity by frame > 0,
+            # matching upscaler.eval_temporal's t == 0 handling.
+            hist = jnp.concatenate(
+                [hist[..., :3],
+                 jnp.where(frame > 0, hist[..., 3:4], 0.0)], axis=-1)
             img = upscaler.upscale_temporal(net, up_params, img, hist)
             up_history = img
         else:

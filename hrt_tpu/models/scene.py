@@ -60,6 +60,11 @@ class SceneData(NamedTuple):
     # Packed base-color textures (models/textures.py); (0, R, R, 3)
     # when the scene has none.
     textures: jnp.ndarray = None
+    # Pre-built light BVH (ops/lightbvh.LightTree) — built once at
+    # scene build so shading never re-sorts the lights per program
+    # (the morton sort + per-level reductions are static per scene).
+    # None when lights are empty or the scene was constructed directly.
+    light_tree: object = None
 
     @property
     def num_triangles(self) -> int:
@@ -240,16 +245,24 @@ class Scene:
                 pad_width = [(0, extra)] + [(0, 0)] * (v.ndim - 1)
                 fill = -1 if k == "tri_inst" else 0
                 host[k] = np.pad(v, pad_width, constant_values=fill)
+        lights = jnp.asarray(
+            np.stack(self.lights) if self.lights
+            else np.zeros((0, lights_mod.LIGHT_W), np.float32))
+        if self.lights:
+            from ..ops import lightbvh
+
+            light_tree = lightbvh.build_light_tree(lights)
+        else:
+            light_tree = None
         return SceneData(
             **{k: jnp.asarray(v) for k, v in host.items()},
             materials=jnp.asarray(np.stack(self.materials)),
-            lights=jnp.asarray(
-                np.stack(self.lights) if self.lights
-                else np.zeros((0, lights_mod.LIGHT_W), np.float32)),
+            lights=lights,
             sky=jnp.asarray(self.sky),
             inst_bmin=jnp.asarray(inst_bmin),
             inst_bmax=jnp.asarray(inst_bmax),
             textures=jnp.asarray(tex_mod.pack_textures(self.textures)),
+            light_tree=light_tree,
         )
 
 

@@ -24,14 +24,19 @@ TEX_RES = 256
 
 def _resize_host(img: np.ndarray, res: int) -> np.ndarray:
     """Host-side bilinear resize to (res, res, 3) in [0, 1]."""
+    # Integer inputs are quantized 8/16-bit images; floats are already
+    # linear [0,1] (or HDR — values > 1 stay as-is).  Keying on dtype,
+    # not value range: a float texture with values > 1.5 must not be
+    # darkened 255x, and a very dark 8-bit image must still be scaled.
+    in_dtype = np.asarray(img).dtype
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[:, :, None]
     if img.shape[2] == 1:
         img = np.repeat(img, 3, axis=2)
     img = img[:, :, :3]
-    if img.max() > 1.5:  # 8-bit input
-        img = img / 255.0
+    if np.issubdtype(in_dtype, np.integer):
+        img = img / np.float32(np.iinfo(in_dtype).max)
     h, w = img.shape[:2]
     if (h, w) == (res, res):
         return img

@@ -519,16 +519,18 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
                     (best_t, best_i, bu, bv, done))
 
             n_vis = n_vis + active.astype(jnp.int32)
-            if DEBUG_COUNTERS and rows % 8 == 0:
-                # Count (8,128) row groups whose slab mask hit — the
-                # work GROUP_LEAF would actually run (leaf counter
-                # packs visits<<20 | leaves<<10 | group-hits).
+            if DEBUG_COUNTERS:
+                # Leaf counter packs 1024*leaves + group-hits (groups =
+                # (8,128) row blocks whose slab mask hit — the work
+                # GROUP_LEAF would run).  Visits live in their own
+                # output row (see the writeback), so nothing overflows
+                # until 2^21 leaf visits per tile.
                 gh = jnp.int32(0)
-                for g in range(rows // 8):
-                    gh = gh + jnp.any(
-                        hit[8 * g:8 * (g + 1)]).astype(jnp.int32)
-                n_leaf = n_leaf + jnp.where(
-                    take_leaf, 1024 + gh, 0)
+                if rows % 8 == 0:
+                    for g in range(rows // 8):
+                        gh = gh + jnp.any(
+                            hit[8 * g:8 * (g + 1)]).astype(jnp.int32)
+                n_leaf = n_leaf + jnp.where(take_leaf, 1024 + gh, 0)
             else:
                 n_leaf = n_leaf + take_leaf.astype(jnp.int32)
             if spec:
@@ -556,9 +558,14 @@ def _make_kernel(m_real: int, leaf_size: int, t_min: float,
             u_ref[s, :] = bu
             v_ref[s, :] = bv
             if DEBUG_COUNTERS:
-                cnt_ref[s, :] = jnp.full((rows, TILE_LANES),
-                                         1, jnp.int32) * (
-                    n_vis * 65536 + n_leaf)
+                # Row 0 = visits, row 1 = 1024*leaves + group-hits —
+                # separate rows instead of bit-packing one word (leaf
+                # counts of hundreds per tile overflowed 16 bits).
+                riota = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, TILE_LANES), 0)
+                cnt_ref[s, :] = jnp.where(
+                    riota == 0, n_vis,
+                    jnp.where(riota == 1, n_leaf, 0))
 
     return kernel
 
@@ -759,9 +766,11 @@ def _make_kernel_pipe2(m_real: int, leaf_size: int, t_min: float,
         u_ref[:, :] = bu
         v_ref[:, :] = bv
         if DEBUG_COUNTERS:
-            cnt_ref[:, :] = jnp.full((rows, TILE_LANES), 1,
-                                     jnp.int32) * (n_vis * 65536
-                                                   + n_leaf)
+            riota = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, TILE_LANES), 0)
+            cnt_ref[:, :] = jnp.where(
+                riota == 0, n_vis,
+                jnp.where(riota == 1, n_leaf * 1024, 0))
 
     return kernel
 
@@ -999,9 +1008,11 @@ def _make_kernel_frustum(m_real: int, leaf_size: int, t_min: float,
         st = jax.lax.while_loop(cond, step, st)
         _, n_vis, n_leaf = st
         if DEBUG_COUNTERS:
-            cnt_ref[:, :] = jnp.full((rows, TILE_LANES), 1,
-                                     jnp.int32) * (n_vis * 65536
-                                                   + n_leaf)
+            riota = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, TILE_LANES), 0)
+            cnt_ref[:, :] = jnp.where(
+                riota == 0, n_vis,
+                jnp.where(riota == 1, n_leaf, 0))
 
     return kernel
 

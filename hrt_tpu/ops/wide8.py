@@ -1,0 +1,196 @@
+"""Sublane-record BVH8: the one-crossing-per-8-children traversal tree.
+
+Round-2 measurement (ROADMAP "ROUND-3 ATTACK PLAN"): every kernel
+variant that pays >= 1 vector->scalar transfer per 1-2 node decisions
+lands at parity — the transfers occupy the in-order scalar pipeline
+~0.4-0.9 us each and do not overlap.  The only record shape that can
+win by that model is one where a SINGLE row fetch + a SINGLE dynamic
+lane roll exposes ALL 8 children of a node as sublane-parallel values,
+so one packed crossing decides 8 subtrees at once.
+
+Record layout (records: (R, 8, 128) f32, 16 nodes per row):
+  node q of row r occupies lanes [8q, 8q+8); SUBLANE j = child slot j;
+  lane offset c within the node:
+    c in 0..5  : child AABB (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz)
+    c == 6     : per-child meta, i32 bits:
+                   0            empty slot
+                   > 0          leaf child, value = tri_start + 1
+                   < 0          internal child, value = -(rank + 1)
+                                (rank among the node's internal
+                                 children, slot order)
+    c == 7     : sublane 0 only: first-internal-child wide id ("base",
+                 i32 bits).  Internal child with rank r has id base+r.
+
+After `pltpu.roll(rec, (16 - q%16) % 16 * 8, axis=2)` the node sits at
+lanes 0..8: every per-child quantity is a FREE static slice shaped
+(1, 8, 1) — no masked reduces, no per-child extraction.
+
+Ids are BFS with children-of-a-node CONTIGUOUS (sorted by
+(depth, parent_id, slot)), which is what lets the traversal stack
+carry one (base, rank_hit_mask) entry per visited node instead of one
+id per child.
+
+The collapse consumes the binary Karras/SAH tree (same leaf-ordered
+triangle pool as FlatBVH — the leaf kernel path is shared) and is the
+TPU counterpart of the driver-side BVH the reference invokes at
+Graphics/RayTracing/Scene.cpp:256-311 / raytracing.slang:121.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .lbvh import BVH
+from .wide import _cut
+
+I32 = jnp.int32
+ARITY = 8
+NODES_PER_ROW = 128 // ARITY          # 16
+MAX_WIDE_NODES = 1 << 15              # crossing packs base into 15 bits
+_SWEEPS = 24                          # >= max wide depth (binary/3)
+
+
+def _flags_and_ids(child_l, child_r):
+    """Which binary nodes become wide nodes, plus their BFS ids.
+
+    Returns (flags (Ni,) bool, ids (Ni,) i32 valid where flagged,
+    cuts (Ni, 8), EMPTY sentinel)."""
+    ni = child_l.shape[0]
+    cuts, EMPTY = _cut(child_l, child_r, 3)            # (Ni, 8)
+    is_int = cuts >= 0
+    safe_int = jnp.clip(cuts, 0, ni - 1)
+
+    flags = jnp.zeros((ni,), bool).at[0].set(True)
+
+    def fsweep(_, flags):
+        src = flags[:, None] & is_int
+        return flags.at[jnp.where(src, safe_int, ni)].set(
+            True, mode="drop")
+
+    flags = jax.lax.fori_loop(0, _SWEEPS, fsweep, flags)
+
+    # Wide depth (root 0), fixed-point top-down.
+    big_d = jnp.int32(1 << 20)
+    depth = jnp.full((ni,), big_d, I32).at[0].set(0)
+
+    def dsweep(_, depth):
+        src = flags[:, None] & is_int & (depth[:, None] < big_d)
+        return depth.at[jnp.where(src, safe_int, ni)].min(
+            jnp.broadcast_to(depth[:, None] + 1, cuts.shape),
+            mode="drop")
+
+    depth = jax.lax.fori_loop(0, _SWEEPS, dsweep, depth)
+
+    # Parent binary-id and slot of every wide node (root: 0, 0).
+    slot_iota = jnp.broadcast_to(jnp.arange(ARITY, dtype=I32)[None],
+                                 cuts.shape)
+    self_iota = jnp.broadcast_to(jnp.arange(ni, dtype=I32)[:, None],
+                                 cuts.shape)
+    src = flags[:, None] & is_int
+    parent = jnp.zeros((ni,), I32).at[
+        jnp.where(src, safe_int, ni)].set(self_iota, mode="drop")
+    slot = jnp.zeros((ni,), I32).at[
+        jnp.where(src, safe_int, ni)].set(slot_iota, mode="drop")
+
+    # BFS ids: rank by (depth, parent_id, slot); parent ids converge
+    # top-down, one level per sweep.
+    ids = jnp.zeros((ni,), I32)
+    huge = jnp.int32(2 ** 30)
+
+    def isweep(_, ids):
+        key = depth * (ARITY * ni) + ids[parent] * ARITY + slot
+        key = jnp.where(flags, key, huge)
+        order = jnp.argsort(key)
+        return jnp.zeros((ni,), I32).at[order].set(
+            jnp.arange(ni, dtype=I32))
+
+    ids = jax.lax.fori_loop(0, _SWEEPS, isweep, ids)
+    return flags, ids, cuts, EMPTY
+
+
+@jax.jit
+def _count_wide(child_l, child_r):
+    """Wide-node count (jitted: the eager fixed-point sweeps would cost
+    hundreds of dispatches through the axon tunnel)."""
+    flags, _, _, _ = _flags_and_ids(child_l, child_r)
+    return jnp.sum(flags.astype(I32))
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "nw_pad"))
+def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
+              nw_pad: int):
+    ni = tree.child_l.shape[0]
+    nl = ni + 1
+    flags, ids, cuts, EMPTY = _flags_and_ids(tree.child_l, tree.child_r)
+    is_int = cuts >= 0
+    is_leaf = (cuts < 0) & (cuts != EMPTY)
+    safe_int = jnp.clip(cuts, 0, ni - 1)
+    leaf_of = jnp.clip(-(cuts + 1), 0, leaf_min.shape[0] - 1)
+    big = jnp.float32(3e38)
+
+    # Per-entry boxes: internal -> binary node's own box, leaf -> leaf
+    # AABB, empty -> point at infinity (never hit: entry t 3e38).
+    own_min = jnp.minimum(tree.bmin_l, tree.bmin_r)
+    own_max = jnp.maximum(tree.bmax_l, tree.bmax_r)
+    ent_min = jnp.where(is_int[..., None], own_min[safe_int],
+                        jnp.where(is_leaf[..., None],
+                                  leaf_min[leaf_of], big))
+    ent_max = jnp.where(is_int[..., None], own_max[safe_int],
+                        jnp.where(is_leaf[..., None],
+                                  leaf_max[leaf_of], big))
+    inv = ent_min[..., 0:1] > ent_max[..., 0:1]  # padding leaves
+    ent_min = jnp.where(inv, big, ent_min)
+    ent_max = jnp.where(inv, big, ent_max)
+
+    # Per-entry meta + per-node base (see module docstring).
+    rank = jnp.cumsum(is_int.astype(I32), axis=1) - is_int.astype(I32)
+    tri_start = leaf_of * leaf_size
+    meta = jnp.where(is_int, -(rank + 1),
+                     jnp.where(is_leaf, tri_start + 1, 0))
+    child_ids = jnp.where(is_int, ids[safe_int], jnp.int32(2 ** 30))
+    base = jnp.min(child_ids, axis=1)
+    base = jnp.where(base == 2 ** 30, 0, base)
+
+    # Scatter flagged nodes into wide-id order.
+    dst = jnp.where(flags, ids, nw_pad)
+    vmin = jnp.full((nw_pad, ARITY, 3), big, jnp.float32).at[dst].set(
+        ent_min, mode="drop")
+    vmax = jnp.full((nw_pad, ARITY, 3), big, jnp.float32).at[dst].set(
+        ent_max, mode="drop")
+    vmeta = jnp.zeros((nw_pad, ARITY), I32).at[dst].set(meta,
+                                                        mode="drop")
+    vbase = jnp.zeros((nw_pad,), I32).at[dst].set(base, mode="drop")
+
+    # Assemble (R, 8, 128): V[n, slot, c] -> records[n//16, slot,
+    # 8*(n%16) + c].
+    f32bits = jax.lax.bitcast_convert_type
+    base_col = jnp.where(
+        jnp.arange(ARITY, dtype=I32)[None] == 0,
+        vbase[:, None], 0)                              # (nw, 8)
+    v = jnp.concatenate(
+        [vmin, vmax,
+         f32bits(vmeta, jnp.float32)[..., None],
+         f32bits(base_col, jnp.float32)[..., None]], axis=2)
+    r = nw_pad // NODES_PER_ROW
+    records = v.reshape(r, NODES_PER_ROW, ARITY, ARITY)
+    records = records.transpose(0, 2, 1, 3).reshape(r, ARITY, 128)
+    return records, flags
+
+
+def build_wide8(tree: BVH, leaf_min, leaf_max, leaf_size: int):
+    """Collapse the binary tree into sublane-record BVH8 form.
+
+    Host-eager: the wide node count is data-dependent (records must be
+    shape-compact to stay VMEM-resident), so one device->host sync
+    computes it before the jitted assemble.  Returns the (R, 8, 128)
+    records array, or None when the tree exceeds the id-packing bound
+    (the traversal falls back to the binary packet kernel)."""
+    nw = int(_count_wide(tree.child_l, tree.child_r))
+    if nw >= MAX_WIDE_NODES:
+        return None
+    nw_pad = ((nw + NODES_PER_ROW - 1) // NODES_PER_ROW) * NODES_PER_ROW
+    records, _ = _assemble(tree, jnp.asarray(leaf_min),
+                           jnp.asarray(leaf_max), leaf_size, nw_pad)
+    return records

@@ -259,7 +259,11 @@ def _direct_bvh_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
     contribution is divided by the exact descent pdf."""
     from .ops import lightbvh
 
-    tree = lightbvh.build_light_tree(scene.lights)
+    # The tree is built once at scene build (models/scene.Scene.build)
+    # — rebuilding it here would re-trace the morton sort into every
+    # shading program (per bounce).  Fallback for hand-built SceneData.
+    tree = (scene.light_tree if scene.light_tree is not None
+            else lightbvh.build_light_tree(scene.lights))
     out = _zero3(n.x)
     s_count = config.light_samples
     for _ in range(s_count):
@@ -300,62 +304,60 @@ def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
             or (config.light_sampler == "auto" and num_lights > 32)):
         return _direct_bvh_p(scene, accel, mat, rows, n, view,
                              world_pos, config, ray_mask, seed, frame)
-    ls, reaches, ws = [], [], []
-    for i in range(num_lights):
-        ldir, lcol, lint, unb = process_light_one(scene.lights[i],
-                                                  world_pos)
-        l = v3.normalize(ldir)
-        ndotl = jnp.maximum(v3.dot(n, l), 0.0)
-        lum = v3.luminance(lcol)
-        w = ndotl * lint * (lum + 1e-3)
-        w = jnp.where(lint >= config.light_threshold, w, 0.0) + 1e-12
-        ls.append((l, lcol, lint, ldir, unb))
-        reaches.append(jnp.where(unb, INF, v3.length(ldir)))
-        ws.append(w)
+    # Vectorized over lights: every per-light quantity is one (L, N)
+    # array (light-major rows, rays in lanes) — no Python-unrolled
+    # O(L*S) where-chains, and the CDF/pick are single cumsum/reduce
+    # ops.  Selection is a one-hot masked reduce (pure VPU row math;
+    # cheaper in layouts than a gather along the L axis).
+    from .models.lights import process_light
 
-    cdf = []
-    run = jnp.zeros_like(ws[0])
-    for w in ws:
-        run = run + w
-        cdf.append(run)
-    total = run
+    wp = jnp.stack([world_pos.x, world_pos.y, world_pos.z], -1)  # (N,3)
+    ldir_a, lcol_a, lint_a, unb_a = process_light(scene.lights, wp)
+    ldx, ldy, ldz = (ldir_a[..., 0].T, ldir_a[..., 1].T,
+                     ldir_a[..., 2].T)                    # (L, N)
+    lint_ln = lint_a.T                                    # (L, N)
+    inv_len = jax.lax.rsqrt(jnp.maximum(
+        ldx * ldx + ldy * ldy + ldz * ldz, 1e-24))
+    lx, ly, lz = ldx * inv_len, ldy * inv_len, ldz * inv_len
+    ndotl = jnp.maximum(n.x[None] * lx + n.y[None] * ly
+                        + n.z[None] * lz, 0.0)            # (L, N)
+    lum = (0.2126 * lcol_a[:, 0] + 0.7152 * lcol_a[:, 1]
+           + 0.0722 * lcol_a[:, 2])                       # (L,)
+    ws = ndotl * lint_ln * (lum[:, None] + 1e-3)
+    ws = jnp.where(lint_ln >= config.light_threshold, ws, 0.0) + 1e-12
+    cdf = jnp.cumsum(ws, axis=0)                          # (L, N)
+    total = cdf[-1]
+
+    liota = jnp.arange(num_lights, dtype=jnp.int32)[:, None]
 
     out = _zero3(n.x)
     s_count = config.light_samples
     for _ in range(s_count):
         u, seed = rng.rand(seed)
         thresh = u * total
-        pick = jnp.zeros_like(u, dtype=jnp.int32)
-        for i in range(num_lights - 1):
-            pick = pick + (cdf[i] < thresh).astype(jnp.int32)
+        pick = jnp.sum((cdf[:-1] < thresh[None]).astype(jnp.int32),
+                       axis=0)                            # (N,)
+        onehot = liota == pick[None]                      # (L, N)
 
-        def sel(vals):
-            acc = jnp.zeros_like(vals[0])
-            for i, val in enumerate(vals):
-                acc = jnp.where(pick == i, val, acc)
-            return acc
+        def sel(a_ln):
+            return jnp.sum(jnp.where(onehot, a_ln, 0.0), axis=0)
+
+        def sel_l(a_l):                                   # (L,) scalars
+            return sel(jnp.broadcast_to(a_l[:, None], onehot.shape))
 
         w_pick = sel(ws)
         pdf = w_pick / total
-        l = V3(sel([t[0].x for t in ls]), sel([t[0].y for t in ls]),
-               sel([t[0].z for t in ls]))
-        lcol = V3(sel([jnp.broadcast_to(t[1].x, w_pick.shape)
-                       for t in ls]),
-                  sel([jnp.broadcast_to(t[1].y, w_pick.shape)
-                       for t in ls]),
-                  sel([jnp.broadcast_to(t[1].z, w_pick.shape)
-                       for t in ls]))
-        lint = sel([jnp.broadcast_to(t[2], w_pick.shape) for t in ls])
+        l = V3(sel(lx), sel(ly), sel(lz))
+        lcol = V3(sel_l(lcol_a[:, 0]), sel_l(lcol_a[:, 1]),
+                  sel_l(lcol_a[:, 2]))
+        lint = sel(lint_ln)
         f = _eval_brdf_p(config, mat, rows, n, view, l, frame)
         relevant = w_pick > 1e-9
         if ray_mask is not None:
             relevant = relevant & ray_mask
         so = world_pos + n * config.normal_offset
-        ldir_pick = V3(sel([t[3].x for t in ls]),
-                       sel([t[3].y for t in ls]),
-                       sel([t[3].z for t in ls]))
-        unb_pick = sel([jnp.broadcast_to(t[4], w_pick.shape)
-                        for t in ls])
+        ldir_pick = V3(sel(ldx), sel(ldy), sel(ldz))
+        unb_pick = sel_l(unb_a.astype(jnp.float32)) > 0.5
         o_s, d_s, st = _shadow_segment(so, world_pos, ldir_pick, l,
                                        unb_pick, relevant, config)
         occluded = trace_any_p(scene, accel, o_s, d_s, config.t_min,
@@ -371,8 +373,9 @@ def _shadow_segment(so: V3, world_pos: V3, ldir: V3, l: V3, unb,
                     relevant, config: RenderConfig):
     """Shadow ray parameterization for the occlusion query.
 
-    With shadow_from_light (default), finite-light shadow rays are
-    traced FROM THE LIGHT toward the offset surface point: the same
+    When config.shadow_from_light is set (default OFF — see config.py),
+    finite-light shadow rays are traced FROM THE LIGHT toward the
+    offset surface point: the same
     segment, so the same occlusion answer, but every ray in a pixel
     block then shares ONE origin — bundles become tight point-source
     frusta instead of sign-mixed converging fans (which blow up the

@@ -67,10 +67,12 @@ def main():
         print(f"trace time {dt*1e3:.2f} ms for {n} rays "
               f"({n/dt/1e6:.1f} Mray/s closest-only) [counters off]")
         return
-    cnt = np.asarray(out[4])[:: tp.TILE_ROWS, 0]
-    visits = cnt >> 16
-    packed = cnt & 0xFFFF
-    leaves = packed // 1024     # see kernel counter packing
+    # Counter layout (see traversal_pallas writeback): per walk slice,
+    # row 0 = visits, row 1 = 1024*leaves + group-hits.
+    arr = np.asarray(out[4])
+    visits = arr[0:: tp.TILE_ROWS, 0]
+    packed = arr[1:: tp.TILE_ROWS, 0]
+    leaves = packed // 1024
     ghits = packed % 1024
     inner = visits - leaves
     n_tiles = len(cnt)
