@@ -94,12 +94,17 @@ class Accel:
     no per-ray remap through tri_perm (measured: the remap gather alone
     was 14% of device frame time) and no separate material-row gather.
     Columns: nrm0|nrm1|nrm2 (9), uv0|uv1|uv2 (6), mat_id (1),
-    then the full material row (models/materials.MAT_W)."""
+    then the full material row (models/materials.MAT_W).
+
+    `w8` is the optional sublane-record BVH8 table (ops/wide8.py) over
+    the SAME leaf pool — the one-crossing-per-8-children traversal
+    kernel (ops/traversal_wide8.py) uses it when present."""
 
     tree: BVH
     flat: FlatBVH
     leaf_size: int = flax_struct.field(pytree_node=False, default=8)
     attr: jnp.ndarray | None = None
+    w8: jnp.ndarray | None = None
 
 
 # Column where the material row starts inside Accel.attr.
@@ -507,5 +512,26 @@ def build_bvh_sah(scene: SceneData, leaf_size: int = 16,
     )
     flat = flatten_bvh_full(tree, jnp.asarray(lmin), jnp.asarray(lmax),
                             leaf_size)
-    return Accel(tree=tree, flat=flat, leaf_size=leaf_size,
-                 attr=hit_attr_table(scene, jnp.asarray(tri_perm)))
+    accel = Accel(tree=tree, flat=flat, leaf_size=leaf_size,
+                  attr=hit_attr_table(scene, jnp.asarray(tri_perm)))
+    return attach_wide8(accel, lmin, lmax)
+
+
+def attach_wide8(accel: Accel, leaf_min=None, leaf_max=None) -> Accel:
+    """Build + attach the sublane-record BVH8 (host-eager: the wide
+    node count is data-dependent).  No-op when disabled or too big."""
+    import os
+
+    if not bool(int(os.environ.get("HRT_WIDE8_BUILD", "1"))):
+        return accel
+    from . import wide8
+
+    if leaf_min is None:
+        from .wide import _leaf_boxes
+
+        leaf_min, leaf_max = _leaf_boxes(accel)
+    rec = wide8.build_wide8(accel.tree, leaf_min, leaf_max,
+                            accel.leaf_size)
+    if rec is None:
+        return accel
+    return accel.replace(w8=rec)

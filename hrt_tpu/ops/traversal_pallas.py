@@ -84,6 +84,12 @@ FRUSTUM = bool(int(os.environ.get("HRT_FRUSTUM", "0")))
 # nodes per iteration from prefetched candidate records; only a short
 # fetch->meta->crossing chain stays serial.
 PIPE2 = bool(int(os.environ.get("HRT_PIPE2", "0")))
+# Sublane-record BVH8 walk (ops/traversal_wide8.py): ONE row fetch +
+# ONE roll exposes all 8 children; ONE packed crossing decides 8
+# subtrees (vs 1 crossing per 1-2 binary decisions here) — the round-3
+# kernel from the transfer-occupancy model.  Used when the accel
+# carries a wide8 table (lbvh.attach_wide8) unless disabled.
+WIDE8 = bool(int(os.environ.get("HRT_WIDE8", "1")))
 # Octant-ordered traversal: when the accel carries the 8 near-first
 # DFS tables (FlatBVH.nodes_oct), each walk picks the table matching
 # its first ray's direction octant.  MEASURED NO WIN on the bench
@@ -1106,6 +1112,21 @@ def _to_tiles(x: jnp.ndarray, n_pad: int, fill=0.0):
     return x.reshape(-1, TILE_LANES)
 
 
+def use_wide8(accel) -> bool:
+    """True when this accel routes to the sublane-record BVH8 kernel
+    (ops/traversal_wide8.py) instead of the binary packet walk.
+
+    Off on the CPU backend (interpret-mode wide8 is very slow — the
+    dedicated tests opt in with HRT_WIDE8_CPU=1, read dynamically)."""
+    if jax.default_backend() == "cpu" and not bool(
+            int(os.environ.get("HRT_WIDE8_CPU", "0"))):
+        return False
+    return (WIDE8 and getattr(accel, "w8", None) is not None
+            and WALKS == 1 and TILE_ROWS % 8 == 0
+            and 1 <= TILE_ROWS // 8 <= 8
+            and not (FRUSTUM or PIPE2 or SPEC or OCT) and PROBE == "")
+
+
 def _run_planes(scene, accel, ox, oy, oz, dx, dy, dz, t_min, t_max,
                 find_closest: bool):
     """Planar core: ray components as (N,) planes — reshaping a linear
@@ -1113,7 +1134,8 @@ def _run_planes(scene, accel, ox, oy, oz, dx, dy, dz, t_min, t_max,
     no layout copies (see ops/v3.py)."""
     flat = accel.flat
     n = ox.shape[0]
-    quantum = BLOCK_ROWS * TILE_LANES
+    wide8 = use_wide8(accel)
+    quantum = (TILE_ROWS if wide8 else BLOCK_ROWS) * TILE_LANES
     n_pad = ((n + quantum - 1) // quantum) * quantum
     nl = accel.tree.child_l.shape[0] + 1
     m_real = 2 * nl - 1
@@ -1124,13 +1146,21 @@ def _run_planes(scene, accel, ox, oy, oz, dx, dy, dz, t_min, t_max,
              _to_tiles(oz, n_pad), _to_tiles(dx, n_pad),
              _to_tiles(dy, n_pad), _to_tiles(dz, n_pad),
              _to_tiles(tmax, n_pad, fill=-1.0)]  # padded rays hit nothing
-    nodes = flat.nodes
-    if OCT and flat.nodes_oct is not None:
-        nodes = flat.nodes_oct
-    t, tri, u, v = _trace_tiles(
-        *comps, nodes, flat.tris,
-        m_real=m_real, leaf_size=leaf_size, t_min=float(t_min),
-        find_closest=find_closest)[:4]
+    if wide8:
+        from . import traversal_wide8
+
+        t, tri, u, v = traversal_wide8.trace_tiles_wide8(
+            *comps, accel.w8, flat.tris,
+            nw=accel.w8.shape[0] * 16, leaf_size=leaf_size,
+            t_min=float(t_min), find_closest=find_closest)[:4]
+    else:
+        nodes = flat.nodes
+        if OCT and flat.nodes_oct is not None:
+            nodes = flat.nodes_oct
+        t, tri, u, v = _trace_tiles(
+            *comps, nodes, flat.tris,
+            m_real=m_real, leaf_size=leaf_size, t_min=float(t_min),
+            find_closest=find_closest)[:4]
     flat_out = lambda a: a.reshape(-1)[:n]
     return flat_out(t), flat_out(tri), flat_out(u), flat_out(v)
 

@@ -8,7 +8,9 @@ win by that model is one where a SINGLE row fetch + a SINGLE dynamic
 lane roll exposes ALL 8 children of a node as sublane-parallel values,
 so one packed crossing decides 8 subtrees at once.
 
-Record layout (records: (R, 8, 128) f32, 16 nodes per row):
+Record layout (records: (R, 8, 128) i32, 16 nodes per row — i32 so the
+TPU's f32 NaN-payload canonicalization can't corrupt the metadata;
+box lanes are f32 bitcast to i32):
   node q of row r occupies lanes [8q, 8q+8); SUBLANE j = child slot j;
   lane offset c within the node:
     c in 0..5  : child AABB (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz)
@@ -164,15 +166,18 @@ def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
     vbase = jnp.zeros((nw_pad,), I32).at[dst].set(base, mode="drop")
 
     # Assemble (R, 8, 128): V[n, slot, c] -> records[n//16, slot,
-    # 8*(n%16) + c].
-    f32bits = jax.lax.bitcast_convert_type
+    # 8*(n%16) + c].  The records array is I32 end-to-end: negative
+    # metas are NaN bit patterns as f32 and the TPU canonicalizes NaN
+    # payloads in f32 data movement (measured: scatter/transpose turned
+    # every meta into 0x7FC00000); i32 ops never touch the bits.  The
+    # kernel bitcasts the box lanes back to f32 after its roll.
+    bits = lambda f: jax.lax.bitcast_convert_type(f, I32)
     base_col = jnp.where(
         jnp.arange(ARITY, dtype=I32)[None] == 0,
         vbase[:, None], 0)                              # (nw, 8)
     v = jnp.concatenate(
-        [vmin, vmax,
-         f32bits(vmeta, jnp.float32)[..., None],
-         f32bits(base_col, jnp.float32)[..., None]], axis=2)
+        [bits(vmin), bits(vmax),
+         vmeta[..., None], base_col[..., None]], axis=2)
     r = nw_pad // NODES_PER_ROW
     records = v.reshape(r, NODES_PER_ROW, ARITY, ARITY)
     records = records.transpose(0, 2, 1, 3).reshape(r, ARITY, 128)

@@ -761,11 +761,14 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
             if (g is not None and rows % (g[2] * g[0]) == 0
                     and w % (g[3] * g[1]) == 0):
                 geom = g
-        elif (want_block and traversal_pallas.FRUSTUM
+        elif (want_block
+              and (traversal_pallas.FRUSTUM
+                   or traversal_pallas.use_wide8(
+                       getattr(accel, "base", accel)))
               and bh % 8 == 0 and bh > 8):
-            # Frustum walk: square 32x32 blocks per (8,128) ray GROUP
-            # (the kernel's interval-bound granularity) — strip groups
-            # make the conservative bounds uselessly wide.
+            # Frustum / wide8 walks: square 32x32 blocks per (8,128)
+            # ray GROUP (the kernels' interval-bound granularity) —
+            # strip groups make the conservative bounds uselessly wide.
             g = wavefront.walk_block_geometry(8, bh // 8)
             if (g is not None and rows % (g[2] * g[0]) == 0
                     and w % (g[3] * g[1]) == 0):

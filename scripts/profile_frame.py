@@ -36,6 +36,8 @@ def capture(frames: int, trace_dir: str) -> None:
                        traversal="auto")
     if os.environ.get("HRT_PROFILE_SFL") == "0":
         cfg = dataclasses.replace(cfg, shadow_from_light=False)
+    elif os.environ.get("HRT_PROFILE_SFL") == "1":
+        cfg = dataclasses.replace(cfg, shadow_from_light=True)
     scene = build_bench_scene().build()
     cams = camera_arrays(Camera(position=(0.0, -1.0, -6.0),
                                 rotation=(-0.15, 0.0, 0.0)), cfg)

@@ -1,0 +1,108 @@
+"""Sublane-record BVH8 (ops/wide8.py + ops/traversal_wide8.py):
+builder structure + kernel exactness vs the float64 oracle.
+
+The kernel runs in interpret mode here (CPU suite); TPU exactness was
+cross-checked against the classic packet kernel and the oracle on the
+bench scene (round-3 campaign, STATUS.md).  HRT_WIDE8_CPU=1 opts the
+routing in (it is off on CPU by default: interpret-mode wide8 walks
+are slow)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hrt_tpu.ops import lbvh, traversal_pallas as tp
+from hrt_tpu.ops import wide8
+from hrt_tpu.utils import oracle
+
+from test_fuzz import random_scene_data, random_rays
+
+
+def _wide8_accel(seed, n_tris=220, leaf_size=8):
+    data, v0, e1, e2 = random_scene_data(seed, n_tris=n_tris)
+    accel = lbvh.build_bvh(data, leaf_size=leaf_size)
+    accel = lbvh.attach_wide8(accel)
+    return data, accel, v0, e1, e2
+
+
+def test_build_wide8_structure():
+    _, accel, _, _, _ = _wide8_accel(0)
+    rec = np.asarray(accel.w8)
+    assert rec.ndim == 3 and rec.shape[1:] == (8, 128)
+    assert rec.dtype == np.int32
+    # Decode all node entries; verify the meta invariants.
+    R = rec.shape[0]
+    v = (rec.reshape(R, 8, 16, 8).transpose(0, 2, 1, 3)
+         .reshape(R * 16, 8, 8))
+    meta = v[:, :, 6]
+    base = v[:, :, 7][:, 0]
+    # Root is node 0 and must have children.
+    assert (meta[0] != 0).any()
+    # Internal metas encode ranks 0..7; ranks within a node are the
+    # 0..k-1 prefix in slot order.
+    for n in range(R * 16):
+        ranks = [-m - 1 for m in meta[n] if m < 0]
+        assert ranks == list(range(len(ranks)))
+        if ranks:
+            assert 0 <= base[n] < R * 16
+    # Leaf metas point inside the padded triangle pool.
+    leaf_meta = meta[meta > 0]
+    n_tris_pad = 256  # 220 padded to 128-multiple, 8 per leaf
+    assert (leaf_meta - 1 < n_tris_pad).all()
+    assert ((leaf_meta - 1) % 8 == 0).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_wide8_closest_vs_oracle(seed, monkeypatch):
+    monkeypatch.setenv("HRT_WIDE8_CPU", "1")
+    monkeypatch.setattr(tp, "WIDE8", True)
+    data, accel, v0, e1, e2 = _wide8_accel(seed)
+    assert accel.w8 is not None and tp.use_wide8(accel)
+    o, d = random_rays(seed, n=256)
+    ot, oi, _, _ = oracle.closest_hit(o, d, v0, e1, e2)
+    t, tri = tp.closest_hit(data, accel, jnp.asarray(o), jnp.asarray(d),
+                            1e-3, 1e32)[:2]
+    tri = np.asarray(tri)
+    agree = (tri >= 0) == (oi >= 0)
+    assert agree.mean() > 0.99
+    both = (tri >= 0) & (oi >= 0)
+    np.testing.assert_allclose(np.asarray(t)[both], ot[both],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_wide8_anyhit_vs_oracle(monkeypatch):
+    monkeypatch.setenv("HRT_WIDE8_CPU", "1")
+    monkeypatch.setattr(tp, "WIDE8", True)
+    data, accel, v0, e1, e2 = _wide8_accel(2)
+    o, d = random_rays(2, n=256)
+    tmax = np.full(o.shape[0], 5.0, np.float32)
+    occ_o = oracle.any_hit(o, d, v0, e1, e2, t_max=tmax)
+    occ = np.asarray(tp.any_hit(data, accel, jnp.asarray(o),
+                                jnp.asarray(d), 1e-3,
+                                jnp.asarray(tmax)))
+    assert (occ == occ_o).mean() > 0.99
+
+
+def test_wide8_interval_mode_matches(monkeypatch):
+    """The conservative interval walk (HRT_W8_EXACT=off) is a superset
+    walk: hits must be identical to exact mode."""
+    monkeypatch.setenv("HRT_WIDE8_CPU", "1")
+    monkeypatch.setattr(tp, "WIDE8", True)
+    data, accel, _, _, _ = _wide8_accel(3)
+    o, d = random_rays(3, n=256)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    monkeypatch.setenv("HRT_W8_EXACT", "all")
+    t_e, tri_e = tp.closest_hit(data, accel, oj, dj, 1e-3, 1e32)[:2]
+    monkeypatch.setenv("HRT_W8_EXACT", "off")
+    t_c, tri_c = tp.closest_hit(data, accel, oj, dj, 1e-3, 1e32)[:2]
+    np.testing.assert_array_equal(np.asarray(tri_e), np.asarray(tri_c))
+    np.testing.assert_allclose(np.asarray(t_e), np.asarray(t_c),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_wide8_skipped_for_huge_trees(monkeypatch):
+    """Trees past the id-packing bound must not get a w8 table."""
+    monkeypatch.setattr(wide8, "MAX_WIDE_NODES", 4)
+    data, accel, _, _, _ = _wide8_accel(0)
+    assert accel.w8 is None
