@@ -86,6 +86,10 @@ def main(argv=None) -> None:
     ap.add_argument("--two-level", action="store_true",
                     help="BLAS-per-mesh + TLAS traversal (instanced/"
                          "animated scenes; ref: Scene.cpp:163-254)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="render row-band-sharded over the first N "
+                         "devices (full pipeline incl. denoise/upscale "
+                         "under one multi-chip program)")
     args = ap.parse_args(argv)
 
     if args.debug_nans:
@@ -113,10 +117,17 @@ def main(argv=None) -> None:
 
         _, fresh, _ = up_mod.create()
         up_params = load_params(args.upscaler_ckpt, fresh.params)
+    mesh = None
+    if args.devices > 1:
+        from .parallel import tiles
+
+        mesh = tiles.make_mesh(args.devices)
+        logger.info("multi-chip mode: %d devices (%s)", args.devices,
+                    jax.default_backend())
     loop = FrameLoop(scene_obj, cfg,
                      upscaler_params=up_params,
                      cull_threshold_px=1.0 if args.frames > 1 else 0.0,
-                     two_level=args.two_level)
+                     two_level=args.two_level, mesh=mesh)
     scene = loop.scene
     if args.checkpoint and os.path.exists(args.checkpoint):
         loop.load_state(args.checkpoint)

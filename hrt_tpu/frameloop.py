@@ -29,25 +29,24 @@ from .ops import culling, denoise, lbvh
 from .renderer import CameraArrays, camera_arrays, render_rows
 
 
-@functools.partial(jax.jit, static_argnames=("config", "net"))
-def frame_program(scene: SceneData, accel, cams: CameraArrays,
-                  prev_cams: CameraArrays, dn_state, accum, frame,
-                  config: RenderConfig, net=None, up_params=None,
-                  up_history=None):
-    """One fused frame: returns (output image, new denoise state,
-    new accumulation buffer, new upscaler history)."""
-    h, w = config.height, config.width
+def _wants_gbuffer(config: RenderConfig, up_history) -> bool:
     temporal_up = (config.upscale == 2
                    and config.upscale_mode == "temporal"
                    and up_history is not None)
-    want_gb = config.denoise or temporal_up
-    out = render_rows(scene, accel, cams, frame, 0, h, config,
-                      want_gbuffer=want_gb)
-    if want_gb:
-        img, gbuffer = out
-    else:
-        img = out
+    return config.denoise or temporal_up
 
+
+def _post_stages(img, gbuffer, prev_cams, dn_state, accum, frame,
+                 config: RenderConfig, net, up_params, up_history):
+    """accumulate -> denoise -> upscale, shared by the single-chip and
+    tile-sharded frame programs (parallel/tiles.frame_program_tiled
+    runs this on row-sharded arrays and lets XLA's sharding propagation
+    partition the stencils/convs — halo exchange is the compiler's
+    job, not hand-written collectives)."""
+    w, h = config.width, config.height
+    temporal_up = (config.upscale == 2
+                   and config.upscale_mode == "temporal"
+                   and up_history is not None)
     if config.accumulate:
         n = jnp.minimum(frame.astype(jnp.float32), 10000.0)
         accum = (accum * n + img) / (n + 1.0)
@@ -81,6 +80,22 @@ def frame_program(scene: SceneData, accel, cams: CameraArrays,
     return img, dn_state, accum, up_history
 
 
+@functools.partial(jax.jit, static_argnames=("config", "net"))
+def frame_program(scene: SceneData, accel, cams: CameraArrays,
+                  prev_cams: CameraArrays, dn_state, accum, frame,
+                  config: RenderConfig, net=None, up_params=None,
+                  up_history=None):
+    """One fused frame: returns (output image, new denoise state,
+    new accumulation buffer, new upscaler history)."""
+    h = config.height
+    want_gb = _wants_gbuffer(config, up_history)
+    out = render_rows(scene, accel, cams, frame, 0, h, config,
+                      want_gbuffer=want_gb)
+    img, gbuffer = out if want_gb else (out, None)
+    return _post_stages(img, gbuffer, prev_cams, dn_state, accum,
+                        frame, config, net, up_params, up_history)
+
+
 @dataclasses.dataclass
 class FrameLoop:
     """Host-side driver holding cross-frame state (RTApp::run analogue).
@@ -95,6 +110,11 @@ class FrameLoop:
     upscaler_params: Optional[Any] = None
     cull_threshold_px: float = 1.0
     two_level: bool = False
+    # Multi-chip render mode: a jax.sharding.Mesh with a 'tiles' axis.
+    # The full pipeline (incl. denoise/upscale) runs row-band-sharded
+    # over it (parallel/tiles.frame_program_tiled); scene + BVH are
+    # replicated.  CLI: --devices N.
+    mesh: Optional[Any] = None
 
     def __post_init__(self):
         cfg = self.config
@@ -122,6 +142,12 @@ class FrameLoop:
             self.accel = (self._wrap_wide(
                 lbvh.build_bvh_sah(self.scene, self.leaf_size))
                 if cfg.traversal != "bruteforce" else None)
+        if self.mesh is not None:
+            from .parallel import tiles
+
+            self.scene = tiles.replicate(self.scene, self.mesh)
+            if self.accel is not None:
+                self.accel = tiles.replicate(self.accel, self.mesh)
         self.dn_state = denoise.init_state(cfg.height, cfg.width)
         self.accum = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
         self.frame = 0
@@ -199,11 +225,24 @@ class FrameLoop:
         if self.prev_cams is None:
             self.prev_cams = cams
         self._maybe_cull(cams)
-        img, self.dn_state, self.accum, self.up_history = frame_program(
-            self.scene, self.accel, cams, self.prev_cams, self.dn_state,
-            self.accum, jnp.uint32(self.frame), self.config,
-            net=self.net, up_params=self.upscaler_params,
-            up_history=self.up_history)
+        if self.mesh is not None:
+            from .parallel.tiles import frame_program_tiled
+
+            img, self.dn_state, self.accum, self.up_history = \
+                frame_program_tiled(
+                    self.scene, self.accel, cams, self.prev_cams,
+                    self.dn_state, self.accum, jnp.uint32(self.frame),
+                    self.config, self.mesh, net=self.net,
+                    up_params=self.upscaler_params,
+                    up_history=self.up_history)
+        else:
+            img, self.dn_state, self.accum, self.up_history = \
+                frame_program(
+                    self.scene, self.accel, cams, self.prev_cams,
+                    self.dn_state, self.accum, jnp.uint32(self.frame),
+                    self.config, net=self.net,
+                    up_params=self.upscaler_params,
+                    up_history=self.up_history)
         self.prev_cams = cams
         self.frame += 1
         return img

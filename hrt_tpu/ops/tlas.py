@@ -81,6 +81,12 @@ class TwoLevelFlat:
     root_bmax: jnp.ndarray       # (I, 3)
     tlas_m: int = flax_struct.field(pytree_node=False, default=1)
     leaf_size: int = flax_struct.field(pytree_node=False, default=16)
+    # Optional sublane-record BVH8 form (ops/wide8.py): one unified
+    # (R, 8, 128) i32 table (TLAS region first, instance-id leaves),
+    # walked by ops/traversal_tlas8.py.  None -> binary kernel.
+    w8_nodes: jnp.ndarray | None = None
+    w8_root: jnp.ndarray | None = None     # (I, 1) i32 BLAS root ids
+    w8_tlas_nw: int = flax_struct.field(pytree_node=False, default=0)
 
 
 def _ceil(a: int, b: int) -> int:
@@ -150,6 +156,7 @@ def build_two_level_flat(scene: Scene, leaf_size: int = 16,
     node_tables, tri_tables, attr_tables = [], [], []
     mesh_node_base, mesh_node_end = [], []   # per mesh, in BLAS-local 0
     mesh_tri_base, mesh_root = [], []
+    w8_tables = []      # (records_local, tri_base) per mesh, or None
     node_rows = tri_rows = 0
     for mesh in scene.meshes:
         t_pad = max(PAD, _ceil(mesh.num_triangles, PAD))
@@ -183,6 +190,20 @@ def build_two_level_flat(scene: Scene, leaf_size: int = 16,
             [arrs[k] for k in ("nrm0", "nrm1", "nrm2",
                                "uv0", "uv1", "uv2")], axis=1)  # (t,15)
         attr_tables.append(base[np.clip(perm, 0, t_pad - 1)])
+
+        # Sublane-record BVH8 form of this BLAS (same leaf pool).
+        from .wide import _leaf_boxes as _w_leaf_boxes
+        from . import wide8
+
+        if bool(int(__import__("os").environ.get("HRT_WIDE8_BUILD",
+                                                 "1"))):
+            lmin, lmax = _w_leaf_boxes(accel)
+            w8_local = wide8.build_wide8(accel.tree, lmin, lmax,
+                                         leaf_size)
+        else:
+            w8_local = None
+        w8_tables.append(None if w8_local is None
+                         else (w8_local, tri_rows * 128))
 
         mesh_node_base.append(node_rows * 128)
         mesh_node_end.append(node_rows * 128 + m_real)
@@ -229,6 +250,31 @@ def build_two_level_flat(scene: Scene, leaf_size: int = 16,
     blas_end = jnp.asarray(
         tlas_rows * 128 + np.asarray(mesh_node_end)[inst_mesh], I32)
 
+    # Unified wide8 table: TLAS region (instance-id leaves) + every
+    # mesh's globalized BLAS region (ops/traversal_tlas8.py walks it).
+    from . import wide8
+
+    w8_nodes = w8_root = None
+    w8_tlas_nw = 0
+    if all(w is not None for w in w8_tables):
+        tlas_pad = wide8.tlas_nw_pad(i_n)
+        mesh_w8_base, acc = [], tlas_pad
+        for rec, _ in w8_tables:
+            mesh_w8_base.append(acc)
+            acc += rec.shape[0] * wide8.NODES_PER_ROW
+        if acc < wide8.MAX_WIDE_NODES:
+            tlas_rec = wide8.build_wide8_tlas(jnp.asarray(bmin),
+                                              jnp.asarray(bmax),
+                                              tlas_pad)
+            parts_w8 = [tlas_rec] + [
+                wide8.globalize(rec, tri_base, base)
+                for (rec, tri_base), base in zip(w8_tables,
+                                                 mesh_w8_base)]
+            w8_nodes = jnp.concatenate(parts_w8, axis=0)
+            w8_root = jnp.asarray(
+                np.asarray(mesh_w8_base, np.int32)[inst_mesh][:, None])
+            w8_tlas_nw = int(tlas_pad)
+
     return TwoLevelFlat(
         nodes=all_nodes, tris=all_tris,
         inst=_pack_inst(jnp.asarray(o_from_w), blas_base, blas_end),
@@ -240,7 +286,8 @@ def build_two_level_flat(scene: Scene, leaf_size: int = 16,
         blas_base=blas_base, blas_end=blas_end,
         root_bmin=jnp.asarray(root_bmin),
         root_bmax=jnp.asarray(root_bmax),
-        tlas_m=int(tlas_m), leaf_size=leaf_size)
+        tlas_m=int(tlas_m), leaf_size=leaf_size,
+        w8_nodes=w8_nodes, w8_root=w8_root, w8_tlas_nw=w8_tlas_nw)
 
 
 def _world_aabbs(root_bmin, root_bmax, world_from_obj):
@@ -265,8 +312,15 @@ def refit_two_level(tl: TwoLevelFlat, world_from_obj, obj_from_world,
     bmin, bmax = _world_aabbs(tl.root_bmin, tl.root_bmax, world_from_obj)
     tlas, _ = _tlas_nodes(bmin, bmax)
     nodes = jnp.concatenate([tlas, tl.nodes[tlas.shape[0]:]], axis=0)
+    w8_nodes = tl.w8_nodes
+    if w8_nodes is not None:
+        from . import wide8
+
+        tlas8 = wide8.build_wide8_tlas(bmin, bmax, tl.w8_tlas_nw)
+        rows8 = tl.w8_tlas_nw // wide8.NODES_PER_ROW
+        w8_nodes = jnp.concatenate([tlas8, w8_nodes[rows8:]], axis=0)
     return tl.replace(
-        nodes=nodes,
+        nodes=nodes, w8_nodes=w8_nodes,
         inst=_pack_inst(obj_from_world, tl.blas_base, tl.blas_end),
         world_from_obj=world_from_obj, obj_from_world=obj_from_world,
         normal_mat=normal_mat)
@@ -495,6 +549,22 @@ def _trace_tiles_tlas(ox, oy, oz, dx, dy, dz, tmax, nodes, tris, inst,
     )(ox, oy, oz, dx, dy, dz, tmax, nodes, tris, inst)
 
 
+def use_wide8_tlas(tl: TwoLevelFlat) -> bool:
+    """Wide two-level kernel when the table exists (mirrors
+    traversal_pallas.use_wide8's CPU gating)."""
+    import os
+
+    import jax as _jax
+
+    if tl.w8_nodes is None or not bool(int(
+            os.environ.get("HRT_WIDE8", "1"))):
+        return False
+    if (_jax.default_backend() == "cpu"
+            and not int(os.environ.get("HRT_WIDE8_CPU", "0"))):
+        return False
+    return True
+
+
 def _run_planes(tl: TwoLevelFlat, o: V3, d: V3, t_min, t_max,
                 find_closest: bool):
     n = o.x.shape[0]
@@ -505,11 +575,21 @@ def _run_planes(tl: TwoLevelFlat, o: V3, d: V3, t_min, t_max,
              _to_tiles(o.z, n_pad), _to_tiles(d.x, n_pad),
              _to_tiles(d.y, n_pad), _to_tiles(d.z, n_pad),
              _to_tiles(tmax, n_pad, fill=-1.0)]
-    t, tri, inst, u, v = _trace_tiles_tlas(
-        *comps, tl.nodes, tl.tris, tl.inst,
-        m_tot=tl.nodes.shape[0] * 128, tlas_m=tl.tlas_m,
-        leaf_size=tl.leaf_size, t_min=float(t_min),
-        find_closest=find_closest)
+    if use_wide8_tlas(tl):
+        from . import traversal_tlas8
+
+        i_n = tl.obj_from_world.shape[0]
+        t, tri, inst, u, v = traversal_tlas8._trace_tiles_tlas8(
+            *comps, tl.w8_nodes, tl.tris,
+            tl.obj_from_world.reshape(i_n, 12), tl.w8_root,
+            tlas_nw=tl.w8_tlas_nw, leaf_size=tl.leaf_size,
+            t_min=float(t_min), find_closest=find_closest)
+    else:
+        t, tri, inst, u, v = _trace_tiles_tlas(
+            *comps, tl.nodes, tl.tris, tl.inst,
+            m_tot=tl.nodes.shape[0] * 128, tlas_m=tl.tlas_m,
+            leaf_size=tl.leaf_size, t_min=float(t_min),
+            find_closest=find_closest)
     out = lambda a: a.reshape(-1)[:n]
     return out(t), out(tri), out(inst), out(u), out(v)
 

@@ -122,7 +122,10 @@ def _count_wide(child_l, child_r):
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "nw_pad"))
 def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
-              nw_pad: int):
+              nw_pad: int, leaf_vals=None):
+    """leaf_vals: optional (NL,) i32 of per-sorted-leaf meta payloads
+    (meta = leaf_vals[leaf] + 1).  Default: tri_start = leaf*leaf_size.
+    The TLAS build passes ORIGINAL instance ids here (ops/tlas.py)."""
     ni = tree.child_l.shape[0]
     nl = ni + 1
     flags, ids, cuts, EMPTY = _flags_and_ids(tree.child_l, tree.child_r)
@@ -148,7 +151,10 @@ def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
 
     # Per-entry meta + per-node base (see module docstring).
     rank = jnp.cumsum(is_int.astype(I32), axis=1) - is_int.astype(I32)
-    tri_start = leaf_of * leaf_size
+    if leaf_vals is None:
+        tri_start = leaf_of * leaf_size
+    else:
+        tri_start = leaf_vals[leaf_of]
     meta = jnp.where(is_int, -(rank + 1),
                      jnp.where(is_leaf, tri_start + 1, 0))
     child_ids = jnp.where(is_int, ids[safe_int], jnp.int32(2 ** 30))
@@ -198,4 +204,67 @@ def build_wide8(tree: BVH, leaf_min, leaf_max, leaf_size: int):
     nw_pad = ((nw + NODES_PER_ROW - 1) // NODES_PER_ROW) * NODES_PER_ROW
     records, _ = _assemble(tree, jnp.asarray(leaf_min),
                            jnp.asarray(leaf_max), leaf_size, nw_pad)
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Two-level support (ops/tlas.py): region globalization + the TLAS-over-
+# instances wide tree.  See traversal_tlas8.py for the unified walk.
+# ---------------------------------------------------------------------------
+
+def globalize(records, tri_base: int, id_base):
+    """Shift a region's leaf metas by `tri_base` and its first-internal-
+    child bases by `id_base` (records are (R, 8, 128) i32; meta lives at
+    lane c%8==6 on all sublanes, base at c%8==7 sublane 0).  Bases of
+    childless nodes (0) shift harmlessly: the packed crossing discards
+    the base when the internal-hit mask is empty."""
+    lane = jnp.arange(128, dtype=I32) % ARITY
+    meta_lane = (lane == 6)[None, None, :]
+    base_lane = ((lane == 7)[None, None, :]
+                 & (jnp.arange(ARITY, dtype=I32)[None, :, None] == 0))
+    out = jnp.where(meta_lane & (records > 0), records + tri_base,
+                    records)
+    return jnp.where(base_lane, out + id_base, out)
+
+
+def tlas_nw_pad(num_instances: int) -> int:
+    """Static wide-node capacity for a TLAS over `num_instances` boxes
+    (binary internal count bounds the flagged-node count)."""
+    n = max(num_instances, 2)
+    return max(NODES_PER_ROW,
+               (n - 1 + NODES_PER_ROW - 1) // NODES_PER_ROW
+               * NODES_PER_ROW)
+
+
+@functools.partial(jax.jit, static_argnames=("nw_pad",))
+def build_wide8_tlas(inst_bmin, inst_bmax, nw_pad: int):
+    """Wide8 records for a TLAS over instance world AABBs.
+
+    Leaf metas carry ORIGINAL instance ids (+1); the record region is
+    padded to the static `nw_pad` so per-frame refit (tlas.py) is one
+    jitted call with no host sync.  A single-instance scene duplicates
+    its box (Karras needs >= 2 leaves; one redundant AABB test)."""
+    from . import morton
+    from .lbvh import BVH, karras_hierarchy, refit
+
+    i_real = inst_bmin.shape[0]
+    if i_real == 1:
+        inst_bmin = jnp.concatenate([inst_bmin, inst_bmin])
+        inst_bmax = jnp.concatenate([inst_bmax, inst_bmax])
+    centroid = (inst_bmin + inst_bmax) * 0.5
+    smin = jnp.min(inst_bmin, axis=0)
+    smax = jnp.max(inst_bmax, axis=0)
+    codes = morton.morton_codes(centroid, smin, smax)
+    order = jnp.argsort(codes).astype(I32)
+    child_l, child_r = karras_hierarchy(codes[order])
+    lmin, lmax = inst_bmin[order], inst_bmax[order]
+    boxes = refit(child_l, child_r, lmin, lmax)
+    dummy = jnp.zeros((1, 3), jnp.float32)
+    tree = BVH(child_l=child_l, child_r=child_r,
+               bmin_l=boxes[0], bmax_l=boxes[1],
+               bmin_r=boxes[2], bmax_r=boxes[3],
+               tri_v0=dummy, tri_e1=dummy, tri_e2=dummy,
+               tri_perm=jnp.zeros((1,), I32))
+    records, _ = _assemble(tree, lmin, lmax, 1, nw_pad,
+                           leaf_vals=jnp.minimum(order, i_real - 1))
     return records

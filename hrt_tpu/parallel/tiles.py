@@ -31,10 +31,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("tiles",))
 
 
-@functools.partial(jax.jit, static_argnames=("config", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("config", "mesh", "want_gbuffer"))
 def render_frame_tiled(scene, accel, cam: CameraArrays, frame: jnp.ndarray,
-                       config: RenderConfig, mesh: Mesh) -> jnp.ndarray:
-    """Jitted tile-parallel frame: (H, W, 3) assembled from row bands."""
+                       config: RenderConfig, mesh: Mesh,
+                       want_gbuffer: bool = False):
+    """Jitted tile-parallel frame: (H, W, 3) assembled from row bands
+    (+ a row-sharded G-buffer dict when want_gbuffer)."""
     n = mesh.devices.size
     if config.height % n != 0:
         raise ValueError(
@@ -44,17 +47,43 @@ def render_frame_tiled(scene, accel, cam: CameraArrays, frame: jnp.ndarray,
     def tile_fn(scene, accel, cam, frame):
         i = jax.lax.axis_index("tiles")
         y0 = (i * rows_per).astype(jnp.uint32)
-        img = render_rows(scene, accel, cam, frame, y0, rows_per, config)
-        return img
+        return render_rows(scene, accel, cam, frame, y0, rows_per,
+                           config, want_gbuffer=want_gbuffer)
 
     fn = jax.shard_map(
         tile_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
-        out_specs=P("tiles"),
+        out_specs=P("tiles"),   # pytree prefix: every output row-sharded
         check_vma=False,
     )
     return fn(scene, accel, cam, frame)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "net", "mesh"))
+def frame_program_tiled(scene, accel, cams: CameraArrays,
+                        prev_cams: CameraArrays, dn_state, accum, frame,
+                        config: RenderConfig, mesh: Mesh, net=None,
+                        up_params=None, up_history=None):
+    """The FULL frame pipeline (trace -> shade -> accumulate -> denoise
+    -> upscale) as one multi-chip program.
+
+    trace+shade runs under shard_map (the Pallas kernels need explicit
+    per-device calls); the quality stages then run on the row-sharded
+    global arrays under ordinary jit — XLA's sharding propagation
+    partitions the SVGF stencils, reprojection gathers, and upscaler
+    convs, inserting halo/all-gather collectives where rows interact.
+    This is the multi-chip form of the reference's single
+    vkCmdTraceRaysKHR dispatch + post passes (RTPipeline.cpp:41-43),
+    scaled over ICI instead of one GPU's SMs."""
+    from ..frameloop import _post_stages, _wants_gbuffer
+
+    want_gb = _wants_gbuffer(config, up_history)
+    out = render_frame_tiled(scene, accel, cams, frame, config, mesh,
+                             want_gbuffer=want_gb)
+    img, gbuffer = out if want_gb else (out, None)
+    return _post_stages(img, gbuffer, prev_cams, dn_state, accum,
+                        frame, config, net, up_params, up_history)
 
 
 def frame_stats_psum(img_shard: jnp.ndarray, axis_name: str = "tiles"):

@@ -30,6 +30,30 @@ def test_tiled_matches_single_device():
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+def test_full_pipeline_tiled_matches_single_device():
+    """The FULL frame program (trace -> shade -> accumulate -> denoise
+    -> temporal 2x upscale) under the 8-device mesh must match the
+    single-device program (VERDICT round-2 item 5: multi-chip as a
+    first-class render mode, not trace-only)."""
+    from hrt_tpu.frameloop import FrameLoop
+
+    cfg = RenderConfig(width=64, height=48, max_depth=1, sky=True,
+                       denoise=True, accumulate=True, upscale=2,
+                       upscale_mode="temporal")
+    cam = Camera()
+
+    def run(mesh):
+        loop = FrameLoop(reference_demo_scene(), cfg,
+                         cull_threshold_px=0.0, mesh=mesh)
+        return [np.asarray(loop.step(cam)) for _ in range(2)]
+
+    ref = run(None)
+    got = run(tiles.make_mesh(8))
+    for r, g in zip(ref, got):
+        assert g.shape == (96, 128, 3)
+        np.testing.assert_allclose(g, r, atol=2e-5)
+
+
 def test_tiled_rejects_bad_height():
     cfg = RenderConfig(width=64, height=50, max_depth=1)
     scene = reference_demo_scene().build()
