@@ -54,10 +54,9 @@ def main() -> None:
     cams = camera_arrays(Camera(position=(0.0, -1.0, -6.0),
                                 rotation=(-0.15, 0.0, 0.0)), cfg)
 
-    from hrt_tpu.ops import lbvh, wide
+    from hrt_tpu.ops import lbvh
 
-    accel = wide.build_wide_collapsed(
-        lbvh.build_bvh_sah(scene, leaf_size=16))
+    accel = lbvh.build_bvh_sah(scene, leaf_size=16)
 
     # Frames-in-flight: k frames per dispatch (renderer.render_frames)
     # amortizes the per-dispatch host round-trip (~30 ms through the

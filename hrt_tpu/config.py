@@ -55,8 +55,8 @@ class RenderConfig:
     accumulate: bool = False         # temporal accumulation across frames
     # Trace finite-light shadow rays FROM the light toward the surface
     # (same segment, same answer): every ray in a pixel block then
-    # shares one origin — tight point-source bundles for the frustum
-    # kernel (HRT_FRUSTUM) experiments.  Default OFF: with the default
+    # shares one origin — tight point-source bundles (explored by the
+    # since-culled frustum-interval kernel).  Default OFF: with the
     # packet kernel it buys nothing, and building the per-light origin
     # planes with concatenate (instead of the tile the off-path uses)
     # flips XLA's layout assignment for the whole shading graph and

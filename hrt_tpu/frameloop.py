@@ -136,12 +136,11 @@ class FrameLoop:
                                                    self.leaf_size)
         else:
             # Static scenes get the high-quality native SAH tree;
-            # culling rebuilds use the fast on-device LBVH.  Both are
-            # wrapped into the collapsed BVH8 (ops/wide.py) — the
+            # culling rebuilds use the fast on-device LBVH.  Both carry
+            # the sublane-record BVH8 table (lbvh.attach_wide8) — the
             # fastest traversal path.
-            self.accel = (self._wrap_wide(
-                lbvh.build_bvh_sah(self.scene, self.leaf_size))
-                if cfg.traversal != "bruteforce" else None)
+            self.accel = (lbvh.build_bvh_sah(self.scene, self.leaf_size)
+                          if cfg.traversal != "bruteforce" else None)
         if self.mesh is not None:
             from .parallel import tiles
 
@@ -165,12 +164,6 @@ class FrameLoop:
                 self.net, state, _ = upscaler.create()
             if self.upscaler_params is None:
                 self.upscaler_params = state.params
-
-    @staticmethod
-    def _wrap_wide(accel):
-        from .ops import wide
-
-        return wide.build_wide_collapsed(accel)
 
     def reset_history(self):
         cfg = self.config
@@ -214,9 +207,8 @@ class FrameLoop:
             self.visible = new_vis
             mask = culling.triangle_mask(new_vis, self.scene.tri_inst,
                                          self.scene.tri_valid)
-            self.accel = self._wrap_wide(
-                lbvh.build_bvh(self.scene, self.leaf_size,
-                               tri_mask=mask))
+            self.accel = lbvh.build_bvh(self.scene, self.leaf_size,
+                                        tri_mask=mask)
 
     def step(self, camera: Camera) -> np.ndarray:
         """Render the next frame; returns the final (possibly upscaled)

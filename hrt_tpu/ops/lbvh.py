@@ -65,17 +65,10 @@ class FlatBVH(NamedTuple):
            tri_start+1); sublane 7 = bitcast i32 skip index.
     tris:  (Tp//128, 16, 128) f32 — sublanes 0:9 = v0xyz,e1xyz,e2xyz in
            leaf order (K-blocks never straddle a row); 9:16 padding.
-    nodes_oct: optional (8, Mp//128, 8, 128) — eight octant-ordered
-           DFS variants (near child first for rays traveling in that
-           direction octant); the packet kernel picks the table
-           matching each tile's dominant direction, which tightens
-           best_t sooner (closest) and finds occluders sooner
-           (shadows).  Same leaf pool; any DFS order is exact.
     """
 
     nodes: jnp.ndarray
     tris: jnp.ndarray
-    nodes_oct: jnp.ndarray | None = None
 
     @property
     def num_nodes_padded(self) -> int:
@@ -235,7 +228,7 @@ def _masked_scatter(dst, idx, val, mask):
 
 
 def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
-                swap: jnp.ndarray | None = None) -> FlatBVH:
+) -> FlatBVH:
     """Linearize the Karras tree into DFS preorder with skip links.
 
     All on device: subtree sizes and preorder positions are computed by
@@ -259,14 +252,9 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
     sz = jax.lax.fori_loop(0, _REFIT_DEPTH, size_sweep,
                            jnp.ones((ni,), I32))
 
-    # Top-down preorder positions.  `swap` (Ni,) bool emits the right
-    # child first (octant-ordered variants); any order is exact, order
-    # only changes how early the walk tightens best_t.
-    if swap is None:
-        first, second = cl, cr
-    else:
-        first = jnp.where(swap, cr, cl)
-        second = jnp.where(swap, cl, cr)
+    # Top-down preorder positions (left-first DFS; any order is exact,
+    # order only changes how early the walk tightens best_t).
+    first, second = cl, cr
     fsize = subtree(sz, first)
 
     def pre_sweep(_, carry):
@@ -337,61 +325,20 @@ def flatten_bvh(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
 
 # Octant-ordered tables are built while 8x the node table still fits
 # the kernel's VMEM node budget (traversal_pallas.MAX_NODE_F32).
-_OCT_BUDGET_F32 = 2_500_000
+@functools.partial(jax.jit, static_argnames=("leaf_size",))
+def _flatten_jit(bvh: BVH, leaf_min, leaf_max, leaf_size: int) -> FlatBVH:
+    """Jitted flatten: one XLA program instead of hundreds of eager
+    dispatches — through the axon tunnel the eager path measured
+    minutes per build, the jitted one milliseconds."""
+    return flatten_bvh(bvh, leaf_min, leaf_max, leaf_size)
 
 
-def octant_swaps(bvh: BVH) -> jnp.ndarray:
-    """(8, Ni) bool: for direction octant o (bit0=+x, bit1=+y, bit2=+z),
-    True where the RIGHT child should be visited first.
-
-    Near-first heuristic: order children along the axis of largest
-    center separation, nearest along the octant's travel direction
-    first (the software analogue of the RT cores' ordered traversal)."""
-    c_l = (bvh.bmin_l + bvh.bmax_l) * 0.5
-    c_r = (bvh.bmin_r + bvh.bmax_r) * 0.5
-    delta = c_r - c_l                                   # (Ni, 3)
-    swaps = []
-    for o in range(8):
-        sx = 1.0 if o & 1 else -1.0
-        sy = 1.0 if o & 2 else -1.0
-        sz = 1.0 if o & 4 else -1.0
-        proj = sx * delta[:, 0] + sy * delta[:, 1] + sz * delta[:, 2]
-        swaps.append(proj < 0.0)  # right child nearer along travel dir
-    return jnp.stack(swaps)
-
-
-@functools.partial(jax.jit, static_argnames=("leaf_size", "octants"))
-def _flatten_full_jit(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
-                      octants: bool) -> FlatBVH:
-    """Jitted flatten (+ octant tables): one XLA program instead of
-    hundreds of eager dispatches — through the axon tunnel the eager
-    path measured minutes per build, the jitted one milliseconds."""
-    flat = flatten_bvh(bvh, leaf_min, leaf_max, leaf_size)
-    if not octants:
-        return flat
-    sw = octant_swaps(bvh)
-    tables = [flatten_bvh(bvh, leaf_min, leaf_max, leaf_size,
-                          swap=sw[o]).nodes for o in range(8)]
-    return flat._replace(nodes_oct=jnp.stack(tables))
-
-
-def flatten_bvh_full(bvh: BVH, leaf_min, leaf_max, leaf_size: int,
-                     octants: bool | None = None) -> FlatBVH:
-    """flatten_bvh + optionally the eight octant-ordered node tables.
-
-    Octant tables are opt-in (HRT_OCT_BUILD=1 or octants=True): on the
-    bench scenes ordered traversal did NOT reduce packet visits (the
-    tile frustum, not visit order, sets them) — kept for depth-complex
-    scenes where front-to-back culling has something to cull."""
-    import os
-
-    if octants is None:
-        octants = bool(int(os.environ.get("HRT_OCT_BUILD", "0")))
-    mp = bvh.child_l.shape[0] * 2 + 1  # node table f32 budget check
-    if octants and 8 * ((mp + 127) // 128 * 128) * 8 > _OCT_BUDGET_F32:
-        octants = False
-    return _flatten_full_jit(bvh, jnp.asarray(leaf_min),
-                             jnp.asarray(leaf_max), leaf_size, octants)
+def flatten_bvh_full(bvh: BVH, leaf_min, leaf_max,
+                     leaf_size: int) -> FlatBVH:
+    """Jitted flatten entry (name kept from when this also built the
+    since-culled octant-ordered table variants)."""
+    return _flatten_jit(bvh, jnp.asarray(leaf_min),
+                        jnp.asarray(leaf_max), leaf_size)
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size",))

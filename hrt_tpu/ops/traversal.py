@@ -117,39 +117,18 @@ def _traverse(bvh: BVH, o, d, t_min, t_max, find_closest: bool,
 
 
 def _unwrap(accel):
-    """Accepts either a plain Accel or a WideAccel wrapper; returns
-    (base Accel, WideAccel-or-None)."""
-    from .wide import WideAccel
-
-    if isinstance(accel, WideAccel):
-        return accel.base, accel
-    return accel, None
-
-
-import os as _os
-
-# The BVH8 kernel is EXACT on real TPU (the round-1 all-misses bug was
-# a denormal-flush of i32 metadata carried in f32 lanes, fixed by
-# bitcast-before-reduce) but measured ~1.5x SLOWER than the packet
-# kernel on the bench scenes (round 2: 60 vs 40 ms incl dispatch), so
-# it stays an opt-in experiment.
-_WIDE_ENABLED = bool(int(_os.environ.get("HRT_WIDE", "0")))
-
-
-def _wide_fits(wide) -> bool:
-    from .traversal_pallas import MAX_VMEM_F32
-
-    if not (_WIDE_ENABLED or jax.default_backend() == "cpu"):
-        return False
-    return (wide.wide.records.size
-            + wide.base.flat.tris.size) <= MAX_VMEM_F32
+    """Historical shim: rounds 1-2 wrapped accels in a WideAccel for
+    the (since-culled) masked-stack wide kernel.  Plain Accels pass
+    through; anything carrying a .base attribute unwraps to it."""
+    return getattr(accel, "base", accel), None
 
 
 def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
                     use_pallas: bool = False, sorted_ids: bool = False):
     """Closest hit via BVH; returns (t, tri_id, u, v) matching the
-    brute-force signature (renderer.trace_closest).  Prefers the wide
-    (BVH8) kernel when the accel carries one and it fits VMEM.
+    brute-force signature (renderer.trace_closest).  The Pallas path
+    prefers the sublane-record BVH8 kernel when the accel carries a
+    wide8 table (see traversal_pallas.use_wide8).
 
     sorted_ids=True returns ids in the BVH leaf-pool order (for
     Accel.attr shading) instead of original triangle ids."""
@@ -157,12 +136,6 @@ def closest_hit_bvh(scene, accel, o, d, t_min, t_max,
     if use_pallas:
         from . import traversal_pallas
 
-        if wide is not None and _wide_fits(wide):
-            from . import traversal_wide
-
-            return traversal_wide.closest_hit(scene, wide, o, d,
-                                              t_min, t_max,
-                                              sorted_ids=sorted_ids)
         if traversal_pallas.available():
             return traversal_pallas.closest_hit(scene, base, o, d,
                                                 t_min, t_max,
@@ -186,12 +159,6 @@ def closest_hit_bvh_p(scene, accel, o, d, t_min, t_max,
     if use_pallas:
         from . import traversal_pallas
 
-        if wide is not None and _wide_fits(wide):
-            from . import traversal_wide
-
-            return traversal_wide.closest_hit(
-                scene, wide, o.to_array(), d.to_array(), t_min, t_max,
-                sorted_ids=sorted_ids)
         if traversal_pallas.available():
             return traversal_pallas.closest_hit_p(
                 scene, base, o, d, t_min, t_max, sorted_ids=sorted_ids)
@@ -207,11 +174,6 @@ def any_hit_bvh_p(scene, accel, o, d, t_min, t_max,
     if use_pallas:
         from . import traversal_pallas
 
-        if wide is not None and _wide_fits(wide):
-            from . import traversal_wide
-
-            return traversal_wide.any_hit(scene, wide, o.to_array(),
-                                          d.to_array(), t_min, t_max)
         if traversal_pallas.available():
             return traversal_pallas.any_hit_p(scene, base, o, d,
                                               t_min, t_max)
@@ -226,11 +188,6 @@ def any_hit_bvh(scene, accel, o, d, t_min, t_max,
     if use_pallas:
         from . import traversal_pallas
 
-        if wide is not None and _wide_fits(wide):
-            from . import traversal_wide
-
-            return traversal_wide.any_hit(scene, wide, o, d, t_min,
-                                          t_max)
         if traversal_pallas.available():
             return traversal_pallas.any_hit(scene, base, o, d,
                                             t_min, t_max)

@@ -1,4 +1,4 @@
-"""Wavefront ray-batch utilities: coherence ordering + compaction.
+"""Wavefront ray-batch utilities: coherence ordering.
 
 The reference relies on the GPU scheduler to keep SIMT warps coherent
 (H3 in SURVEY.md); on TPU the packet kernel's efficiency is set by how
@@ -7,8 +7,6 @@ batches so each traversal tile sees a compact pixel block (primary
 rays) or a direction-coherent cluster (bounce rays).
 """
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax.numpy as jnp
@@ -81,24 +79,6 @@ def from_walk_blocks(x: jnp.ndarray, h: int, w: int, ph: int, pw: int,
     return x.reshape((h * w,) + tail)
 
 
-@functools.lru_cache(maxsize=32)
-def block_order(h: int, w: int, bh: int, bw: int):
-    """Permutation mapping block-major order -> row-major flat index.
-
-    perm[i] = flat index of the i-th ray when the (h, w) grid is walked
-    in (bh, bw) pixel blocks.  Returns (perm, inv_perm) as numpy arrays
-    (static, cached — they depend only on the image geometry).
-    """
-    assert h % bh == 0 and w % bw == 0
-    ys = np.arange(h)
-    xs = np.arange(w)
-    yy, xx = np.meshgrid(ys, xs, indexing="ij")
-    flat = (yy * w + xx)
-    blocks = flat.reshape(h // bh, bh, w // bw, bw).transpose(0, 2, 1, 3)
-    perm = blocks.reshape(-1)
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(perm.size)
-    return perm, inv
 
 
 def direction_order_key(d: jnp.ndarray) -> jnp.ndarray:
@@ -120,16 +100,5 @@ def direction_order_key_p(d) -> jnp.ndarray:
     return octant.astype(jnp.float32) * 16.0 + (d.y * 4.0 + d.z)
 
 
-def direction_order(d: jnp.ndarray):
-    """Permutation form of direction_order_key."""
-    return jnp.argsort(direction_order_key(d))
 
 
-def compact_mask(active: jnp.ndarray):
-    """Stable partition permutation putting active rays first.
-
-    Static-shaped `sort by !active` — the XLA-friendly replacement for
-    dynamic stream compaction.  Returns (perm, num_active)."""
-    inactive = jnp.logical_not(active).astype(jnp.int32)
-    perm = jnp.argsort(inactive, stable=True)
-    return perm, jnp.sum(active.astype(jnp.int32))

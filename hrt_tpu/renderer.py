@@ -188,7 +188,7 @@ def interpolate_hit(scene: SceneData, tri_idx, u, v):
 
 def _hit_attr_table(accel):
     """The pre-sorted attribute table if the accel carries one
-    (lbvh.Accel.attr), unwrapping a WideAccel."""
+    (lbvh.Accel.attr), unwrapping any legacy wrapper with a .base."""
     if accel is None:
         return None
     base = getattr(accel, "base", accel)
@@ -762,13 +762,12 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
                     and w % (g[3] * g[1]) == 0):
                 geom = g
         elif (want_block
-              and (traversal_pallas.FRUSTUM
-                   or traversal_pallas.use_wide8(
-                       getattr(accel, "base", accel)))
+              and traversal_pallas.use_wide8(
+                  getattr(accel, "base", accel))
               and bh % 8 == 0 and bh > 8):
-            # Frustum / wide8 walks: square 32x32 blocks per (8,128)
-            # ray GROUP (the kernels' interval-bound granularity) —
-            # strip groups make the conservative bounds uselessly wide.
+            # Wide8 walk: square 32x32 blocks per (8,128) ray GROUP
+            # (the kernel's per-group predication granularity) — strip
+            # groups span the whole image width and predicate nothing.
             g = wavefront.walk_block_geometry(8, bh // 8)
             if (g is not None and rows % (g[2] * g[0]) == 0
                     and w % (g[3] * g[1]) == 0):

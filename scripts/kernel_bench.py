@@ -79,8 +79,6 @@ def main():
     tt = lambda x, fill=0.0: tp._to_tiles(x, n_pad, fill)
 
     nodes = accel.flat.nodes
-    if tp.OCT and accel.flat.nodes_oct is not None:
-        nodes = accel.flat.nodes_oct
     print("node table:", nodes.shape)
 
     for name, (ox, oy, oz) , (dx, dy, dz), tmax in (

@@ -27,14 +27,10 @@ def main():
     d = jnp.reshape(d, (-1, 3))
     if "--blocked" in sys.argv:
         from hrt_tpu.ops import wavefront
-        if tp.FRUSTUM:
-            # square per-group blocks (what the frustum kernel's
-            # interval bounds want; renderer uses the same mapping)
-            g = wavefront.walk_block_geometry(8, tp.TILE_ROWS // 8)
-            tob = lambda x: wavefront.to_walk_blocks(x, 384, 512, *g)
-        else:
-            tob = lambda x: wavefront.to_blocks(
-                x, 384, 512, tp.TILE_ROWS, tp.TILE_LANES)
+        # square per-group blocks (the wide8 kernel's predication
+        # granularity; renderer uses the same mapping)
+        g = wavefront.walk_block_geometry(8, tp.TILE_ROWS // 8)
+        tob = lambda x: wavefront.to_walk_blocks(x, 384, 512, *g)
         o, d = tob(o), tob(d)
     n = o.shape[0]
     quantum = tp.BLOCK_ROWS * tp.TILE_LANES

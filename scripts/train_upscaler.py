@@ -61,7 +61,7 @@ def render_sequence(n_frames: int, size=(256, 256), scene_kind="bench",
     from hrt_tpu.config import RenderConfig
     from hrt_tpu.models.camera import orbit_camera
     from hrt_tpu.models.scenefile import cornell_box
-    from hrt_tpu.ops import lbvh, wide
+    from hrt_tpu.ops import lbvh
     from hrt_tpu.renderer import camera_arrays, render_rows
 
     if scene_kind == "bench":
@@ -75,7 +75,7 @@ def render_sequence(n_frames: int, size=(256, 256), scene_kind="bench",
                           indirect=True, jitter=True, sky=True,
                           spp=clean_spp, traversal="pallas")
     scene = scene_obj.build()
-    accel = wide.build_wide_collapsed(lbvh.build_bvh_sah(scene, 16))
+    accel = lbvh.build_bvh_sah(scene, 16)
 
     @functools.partial(jax.jit, static_argnames=("config",))
     def render_gb(scene, accel, cams, frame, config):
