@@ -56,7 +56,7 @@ def main() -> None:
 
     from hrt_tpu.ops import lbvh
 
-    accel = lbvh.build_bvh_sah(scene, leaf_size=16)
+    accel = lbvh.build_bvh_sah(scene, leaf_size=32)
 
     # Frames-in-flight: k frames per dispatch (renderer.render_frames)
     # amortizes the per-dispatch host round-trip (~30 ms through the

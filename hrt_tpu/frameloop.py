@@ -121,7 +121,11 @@ class FrameLoop:
         self.scene: SceneData = (
             self.scene_obj.build() if isinstance(self.scene_obj, Scene)
             else self.scene_obj)
-        self.leaf_size = 16
+        # K=32 leaf blocks: the wide8 kernel is bound by the one
+        # scalar crossing per hit leaf child (round-3 probes), so
+        # fewer, fatter leaves win (closest 0.51 -> 0.46 ms, shadow
+        # 0.56 -> 0.49; K=64 loses 4x to Moller waste).
+        self.leaf_size = 32
         self.visible = jnp.ones(
             (self.scene.inst_bmin.shape[0],), bool)
         if self.two_level:

@@ -106,6 +106,42 @@ def primary_rays(
     return origins, dirs
 
 
+def primary_rays_from_px_p(
+    origin: jnp.ndarray,
+    basis: jnp.ndarray,
+    tan_half_fovy: jnp.ndarray,
+    aspect: jnp.ndarray,
+    width: int,
+    height: int,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+):
+    """Primary rays from explicit (jittered) pixel-coordinate planes of
+    ANY shape — the blocked-order fast path: the renderer reorders only
+    the px/py index planes into traversal-block order and generates
+    o/d/seeds directly in that order, instead of paying a 6-D transpose
+    per ray plane (measured ~0.34 ms/frame of relayout fusions)."""
+    from ..ops.v3 import V3
+
+    cx = px / jnp.float32(width) * 2.0 - 1.0
+    cy = py / jnp.float32(height) * 2.0 - 1.0
+    dcx = aspect * tan_half_fovy * cx
+    dcy = tan_half_fovy * cy
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(dcx * dcx + dcy * dcy + 1.0,
+                                         1e-16))
+    dcx, dcy, dcz = (dcx * inv_len, dcy * inv_len,
+                     jnp.broadcast_to(inv_len, px.shape))
+    # world dir = d.x*u + d.y*v + d.z*w (basis rows u, v, w).
+    dirs = V3(
+        dcx * basis[0, 0] + dcy * basis[1, 0] + dcz * basis[2, 0],
+        dcx * basis[0, 1] + dcy * basis[1, 1] + dcz * basis[2, 1],
+        dcx * basis[0, 2] + dcy * basis[1, 2] + dcz * basis[2, 2],
+    )
+    ones = jnp.ones(px.shape, jnp.float32)
+    origins = V3(origin[0] * ones, origin[1] * ones, origin[2] * ones)
+    return origins, dirs
+
+
 def primary_rays_p(
     origin: jnp.ndarray,
     basis: jnp.ndarray,
@@ -120,35 +156,18 @@ def primary_rays_p(
     """Planar primary_rays: same algebra, V3 outputs with (rows, width)
     planes (see ops/v3.py).  `jitter` is an (jx, jy) tuple of planes
     (not a stacked (..., 2) array)."""
-    from ..ops.v3 import V3
-
     if rows is None:
         rows = height
-    px = jnp.arange(width, dtype=jnp.float32)[None, :]
-    py = (jnp.asarray(y0, jnp.float32)
-          + jnp.arange(rows, dtype=jnp.float32))[:, None]
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :],
+                          (rows, width))
+    py = jnp.broadcast_to(
+        (jnp.asarray(y0, jnp.float32)
+         + jnp.arange(rows, dtype=jnp.float32))[:, None], (rows, width))
     if jitter is not None:
         px = px + jitter[0]
         py = py + jitter[1]
-    cx = px / jnp.float32(width) * 2.0 - 1.0
-    cy = py / jnp.float32(height) * 2.0 - 1.0
-    dcx = aspect * tan_half_fovy * cx
-    dcy = tan_half_fovy * cy
-    inv_len = 1.0 / jnp.sqrt(jnp.maximum(dcx * dcx + dcy * dcy + 1.0,
-                                         1e-16))
-    dcx, dcy, dcz = dcx * inv_len, dcy * inv_len, inv_len
-    dcy = jnp.broadcast_to(dcy, (rows, width))
-    dcx = jnp.broadcast_to(dcx, (rows, width))
-    dcz = jnp.broadcast_to(dcz, (rows, width))
-    # world dir = d.x*u + d.y*v + d.z*w (basis rows u, v, w).
-    dirs = V3(
-        dcx * basis[0, 0] + dcy * basis[1, 0] + dcz * basis[2, 0],
-        dcx * basis[0, 1] + dcy * basis[1, 1] + dcz * basis[2, 1],
-        dcx * basis[0, 2] + dcy * basis[1, 2] + dcz * basis[2, 2],
-    )
-    ones = jnp.ones((rows, width), jnp.float32)
-    origins = V3(origin[0] * ones, origin[1] * ones, origin[2] * ones)
-    return origins, dirs
+    return primary_rays_from_px_p(origin, basis, tan_half_fovy, aspect,
+                                  width, height, px, py)
 
 
 def orbit_camera(t: float, radius: float = 3.0, height: float = -1.0,

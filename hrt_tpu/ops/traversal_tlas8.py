@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import traversal_pallas as tp
-from .traversal_pallas import (LEAF_UNROLL, TILE_LANES, TILE_ROWS,
+from .traversal_pallas import (TILE_LANES, TILE_ROWS,
                                _leaf_fetch, _moller, _tri_vecs)
 
 I32 = jnp.int32
@@ -58,7 +58,7 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                t_ref, tri_ref, inst_ref, u_ref, v_ref, *rest):
         rest = list(rest)
         scratch = [rest.pop(0), rest.pop(0)] if not tris_in_vmem else []
-        scr_ref, tlim_ref, done_ref, stack_ref = rest
+        scr_ref, stack_ref = rest
         tmin = jnp.float32(t_min)
         tiny = jnp.float32(1e-20)
 
@@ -86,14 +86,6 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
         inst_ref[:, :] = jnp.full((rows, TILE_LANES), -1, I32)
         u_ref[:, :] = jnp.zeros((rows, TILE_LANES), jnp.float32)
         v_ref[:, :] = jnp.zeros((rows, TILE_LANES), jnp.float32)
-        # Per-group t ceiling (shadow early-exit source; harmless for
-        # closest).  Group g at lane g; all-dead groups start < 0.
-        tlim_ref[0:1, :] = jnp.full((1, TILE_LANES), -1.0, jnp.float32)
-        for g in range(ng):
-            tlim_ref[0:1, g:g + 1] = jnp.max(
-                tmax_ref[8 * g:8 * (g + 1), :], axis=(0, 1),
-                keepdims=True)
-        done_ref[0] = jnp.int32(0)
         stack_ref[0] = jnp.int32(1)   # TLAS root: wide id 0, rank 0
 
         sub1 = jax.lax.broadcasted_iota(I32, (8, 1), 0)
@@ -139,10 +131,12 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
             return ghit > 0
 
         def cond(st):
-            sp = st[0]
-            if find_closest:
-                return sp > 0
-            return (sp > 0) & (done_ref[0] == 0)
+            # No shadow done-flag: the exact node tests read per-ray t
+            # (occluded lanes carry -1), so exhausted subtrees stop
+            # expanding and the stack drains through cheap all-miss
+            # visits — the flag update cost one vector->scalar crossing
+            # per leaf visit (see traversal_wide8.cond).
+            return st[0] > 0
 
         def step(st):
             sp, cur_inst, inst_base, gm0 = st
@@ -235,9 +229,6 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                 sp = sp + (int_mask != 0).astype(I32)
 
                 ghit_i = ghit.astype(I32) << glane
-                unroll = min(LEAF_UNROLL, leaf_size)
-                while leaf_size % unroll:
-                    unroll -= 1
 
                 def tlas_leaves(sp):
                     """Hit instance children -> stack entries
@@ -274,13 +265,17 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                             else:
                                 lrec = _leaf_fetch(tris_ref, start,
                                                    scratch[0], scratch[1])
+                            # One extraction per leaf visit (see
+                            # traversal_wide8: the masked reduces are
+                            # group-independent).
+                            tris_k = [_tri_vecs(lrec, lane0 + k)
+                                      for k in range(leaf_size)]
 
                             for g in range(ng):
                                 sl = slice(8 * g, 8 * (g + 1))
 
                                 @pl.when(((gm >> g) & 1) == 1)
-                                def _group(sl=sl, g=g, lrec=lrec,
-                                           lane0=lane0, start=start):
+                                def _group(sl=sl, g=g, start=start):
                                     bt = t_ref[sl, :]
                                     bi = tri_ref[sl, :]
                                     bn = inst_ref[sl, :]
@@ -293,30 +288,16 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                                     gdy = scr_ref[10, sl, :]
                                     gdz = scr_ref[11, sl, :]
 
-                                    def tri_body(gk, args):
-                                        bt, bi, bn, u_, v_ = args
-                                        for kk in range(unroll):
-                                            k = gk * unroll + kk
-                                            tri = _tri_vecs(lrec,
-                                                            lane0 + k)
-                                            h, t, u, v = _moller(
-                                                tri, gox, goy, goz,
-                                                gdx, gdy, gdz, tmin, bt)
-                                            bi = jnp.where(h, start + k,
-                                                           bi)
-                                            bn = jnp.where(h, cur_inst,
-                                                           bn)
-                                            if find_closest:
-                                                u_ = jnp.where(h, u, u_)
-                                                v_ = jnp.where(h, v, v_)
-                                                bt = jnp.where(h, t, bt)
-                                        return bt, bi, bn, u_, v_
-
-                                    bt, bi, bn, u_, v_ = \
-                                        jax.lax.fori_loop(
-                                            0, leaf_size // unroll,
-                                            tri_body,
-                                            (bt, bi, bn, u_, v_))
+                                    for k in range(leaf_size):
+                                        h, t, u, v = _moller(
+                                            tris_k[k], gox, goy, goz,
+                                            gdx, gdy, gdz, tmin, bt)
+                                        bi = jnp.where(h, start + k, bi)
+                                        bn = jnp.where(h, cur_inst, bn)
+                                        if find_closest:
+                                            u_ = jnp.where(h, u, u_)
+                                            v_ = jnp.where(h, v, v_)
+                                            bt = jnp.where(h, t, bt)
                                     if not find_closest:
                                         occ = bi >= 0
                                         bt = jnp.where(
@@ -327,15 +308,6 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                                     if find_closest:
                                         u_ref[sl, :] = u_
                                         v_ref[sl, :] = v_
-                                    tlim_ref[0:1, g:g + 1] = jnp.max(
-                                        bt, axis=(0, 1), keepdims=True)
-
-                    if not find_closest:
-                        @pl.when(leaf_mask != 0)
-                        def _():
-                            done_ref[0] = (jnp.sum(jnp.max(
-                                tlim_ref[0:1, 0:ng], axis=(0, 1),
-                                keepdims=True)) < 0).astype(I32)
 
                     return sp
 
@@ -377,8 +349,6 @@ def _trace_tiles_tlas8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
     ]
     scratch_shapes += [
         pltpu.VMEM((12, TILE_ROWS, TILE_LANES), jnp.float32),  # rays
-        pltpu.VMEM((1, TILE_LANES), jnp.float32),   # per-group tlim
-        pltpu.SMEM((1,), jnp.int32),                # shadow done flag
         pltpu.SMEM((STACK_BASE + n_inst,), jnp.int32),
     ]
     out_shape = [

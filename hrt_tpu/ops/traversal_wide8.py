@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import traversal_pallas as tp
 from .traversal_pallas import (
-    DEBUG_COUNTERS, LEAF_UNROLL, TILE_LANES, TILE_ROWS,
+    DEBUG_COUNTERS, TILE_LANES, TILE_ROWS,
     _leaf_fetch, _moller, _tri_vecs,
 )
 
@@ -192,7 +192,15 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
             sp = st[0]
             if PROBE8 == "novisit":
                 return sp < 0
-            if find_closest:
+            if find_closest or exact:
+                # Exact-mode shadows need no done flag: occluded lanes
+                # carry t = -1 into the node tests, so fully-occluded
+                # subtrees stop expanding and the stack drains through
+                # a few all-miss visits — cheaper than the one
+                # vector->scalar crossing PER LEAF VISIT the flag
+                # update cost (with the per-group tlim reduces also
+                # dropped: closest 0.584 -> 0.514 ms, shadow 0.657 ->
+                # 0.559 ms on the bench passes).
                 return sp > 0
             return (sp > 0) & (done_ref[0] == 0)
 
@@ -258,10 +266,6 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
             # the child's own frustum bits (one predicated crossing
             # carries tri_start and the group mask together).
             ghit_i = ghit.astype(I32) << glane           # (8, ng)
-            unroll = min(LEAF_UNROLL, leaf_size)
-            while leaf_size % unroll:
-                unroll -= 1
-
             leaf_iter = range(0) if PROBE8 == "noleaf" else range(8)
             for j in leaf_iter:
                 @pl.when(((leaf_mask >> j) & 1) == 1)
@@ -284,13 +288,20 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
                     else:
                         lrec = _leaf_fetch(tris_ref, start, scratch[0],
                                            scratch[1])
+                    # Extract all K triangles ONCE per leaf visit (the
+                    # masked reduces are group-independent; re-running
+                    # them inside every hit group's branch measured
+                    # ~25% of the shadow pass).  Reduce-produced (1,1)
+                    # values broadcast against the (8,128) ray groups
+                    # for free.
+                    tris_k = [_tri_vecs(lrec, lane0 + k)
+                              for k in range(leaf_size)]
 
                     for g in range(ng):
                         sl = slice(8 * g, 8 * (g + 1))
 
                         @pl.when(((gm >> g) & 1) == 1)
-                        def _group(sl=sl, g=g, lrec=lrec, lane0=lane0,
-                                   start=start):
+                        def _group(sl=sl, g=g, start=start):
                             bt = t_ref[sl, :]
                             bi = tri_ref[sl, :]
                             u_ = u_ref[sl, :]
@@ -298,24 +309,15 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
                             gox, goy, goz = ox[sl], oy[sl], oz[sl]
                             gdx, gdy, gdz = dx[sl], dy[sl], dz[sl]
 
-                            def tri_body(gk, args):
-                                bt, bi, u_, v_ = args
-                                for kk in range(unroll):
-                                    k = gk * unroll + kk
-                                    tri = _tri_vecs(lrec, lane0 + k)
-                                    h, t, u, v = _moller(
-                                        tri, gox, goy, goz,
-                                        gdx, gdy, gdz, tmin, bt)
-                                    bi = jnp.where(h, start + k, bi)
-                                    if find_closest:
-                                        u_ = jnp.where(h, u, u_)
-                                        v_ = jnp.where(h, v, v_)
-                                        bt = jnp.where(h, t, bt)
-                                return bt, bi, u_, v_
-
-                            bt, bi, u_, v_ = jax.lax.fori_loop(
-                                0, leaf_size // unroll, tri_body,
-                                (bt, bi, u_, v_))
+                            for k in range(leaf_size):
+                                h, t, u, v = _moller(
+                                    tris_k[k], gox, goy, goz,
+                                    gdx, gdy, gdz, tmin, bt)
+                                bi = jnp.where(h, start + k, bi)
+                                if find_closest:
+                                    u_ = jnp.where(h, u, u_)
+                                    v_ = jnp.where(h, v, v_)
+                                    bt = jnp.where(h, t, bt)
                             if not find_closest:
                                 occ = bi >= 0
                                 bt = jnp.where(occ, jnp.float32(-1.0),
@@ -325,10 +327,13 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
                             if find_closest:
                                 u_ref[sl, :] = u_
                                 v_ref[sl, :] = v_
-                            tlim_ref[0:1, g:g + 1] = jnp.max(
-                                bt, axis=(0, 1), keepdims=True)
+                            if not exact:
+                                # Interval mode culls through tlim (the
+                                # exact test reads t_ref directly).
+                                tlim_ref[0:1, g:g + 1] = jnp.max(
+                                    bt, axis=(0, 1), keepdims=True)
 
-            if not find_closest:
+            if not find_closest and not exact:
                 @pl.when(leaf_mask != 0)
                 def _():
                     done_ref[0] = (jnp.sum(

@@ -81,6 +81,44 @@ def from_walk_blocks(x: jnp.ndarray, h: int, w: int, ph: int, pw: int,
 
 
 
+def walk_block_pixels(h: int, w: int, ph: int, pw: int, gh: int,
+                      gw: int, dtype=jnp.uint32):
+    """(px, py) pixel-coordinate planes of the to_walk_blocks order,
+    computed ANALYTICALLY from the linear index — pure elementwise
+    integer ops that fuse into the ray-generation program, replacing
+    the materialized 6-D transpose of the index planes (measured
+    0.146 ms/frame at 512x384)."""
+    H1, W1 = gh * ph, gw * pw
+    i = jnp.arange(h * w, dtype=jnp.uint32)
+    b5 = i % pw
+    i = i // pw
+    b2 = i % ph
+    i = i // ph
+    b4 = i % gw
+    i = i // gw
+    b1 = i % gh
+    i = i // gh
+    b3 = i % (w // W1)
+    b0 = i // (w // W1)
+    py = b0 * H1 + b1 * ph + b2
+    px = b3 * W1 + b4 * pw + b5
+    return px.astype(dtype), py.astype(dtype)
+
+
+def block_pixels(h: int, w: int, bh: int, bw: int, dtype=jnp.uint32):
+    """(px, py) planes of the to_blocks order (see walk_block_pixels)."""
+    i = jnp.arange(h * w, dtype=jnp.uint32)
+    b3 = i % bw
+    i = i // bw
+    b1 = i % bh
+    i = i // bh
+    b2 = i % (w // bw)
+    b0 = i // (w // bw)
+    py = b0 * bh + b1
+    px = b2 * bw + b3
+    return px.astype(dtype), py.astype(dtype)
+
+
 def direction_order_key(d: jnp.ndarray) -> jnp.ndarray:
     """Sort key clustering rays by direction octant then dominant-axis
     value — cheap coherence for bounce/shadow batches."""

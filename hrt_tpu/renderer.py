@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from .config import RenderConfig
 from .models import materials as M
-from .models.camera import Camera, primary_rays, primary_rays_p
+from .models.camera import (Camera, primary_rays, primary_rays_p,
+                            primary_rays_from_px_p)
 from .models.lights import process_light_one
 from .models.materials import MatP
 from .models.scene import SceneData
@@ -715,90 +716,87 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
     when want_gbuffer (first-sample first-hit attributes).
     """
     w = config.width
-    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None, :],
-                          (rows, w))
-    py = jnp.broadcast_to(
-        jnp.asarray(y0, jnp.uint32) + jnp.arange(rows, dtype=jnp.uint32)
-        [:, None], (rows, w))
+    from .ops import traversal_pallas, wavefront
+
+    bh = traversal_pallas.TILE_ROWS
+    bw = traversal_pallas.TILE_LANES
+    # Pixel-block reorder: each traversal tile then sees a compact
+    # image block instead of a thin strip — measured ~30% fewer leaf
+    # visits; square 32x32 blocks per (8,128) ray GROUP are also the
+    # wide8 kernel's per-group predication granularity (strip groups
+    # span the whole image width and predicate nothing).  Only the
+    # PIXEL-INDEX planes are reordered — o/d/seeds are generated
+    # directly in blocked order (primary_rays_from_px_p), so the only
+    # inverse transpose is the final radiance/G-buffer unblock
+    # (the per-plane 6-D transposes measured ~0.34 ms/frame).
+    want_block = (config.block_reorder
+                  and config.traversal in ("pallas", "auto")
+                  and accel is not None)
+    geom = None
+    if want_block and traversal_pallas.WALKS > 1:
+        g = wavefront.walk_block_geometry(bh, traversal_pallas.WALKS)
+        if (g is not None and rows % (g[2] * g[0]) == 0
+                and w % (g[3] * g[1]) == 0):
+            geom = g
+    elif (want_block
+          and traversal_pallas.use_wide8(getattr(accel, "base", accel))
+          and bh % 8 == 0 and bh > 8):
+        g = wavefront.walk_block_geometry(8, bh // 8)
+        if (g is not None and rows % (g[2] * g[0]) == 0
+                and w % (g[3] * g[1]) == 0):
+            geom = g
+    blocked = want_block and (geom is not None
+                              or (rows % bh == 0 and w % bw == 0))
+    if blocked and geom is not None:
+        tob = lambda x: wavefront.to_walk_blocks(x, rows, w, *geom)
+        unb = lambda x: wavefront.from_walk_blocks(x, rows, w, *geom)
+    elif blocked:
+        tob = lambda x: wavefront.to_blocks(x, rows, w, bh, bw)
+        unb = lambda x: wavefront.from_blocks(x, rows, w, bh, bw)
+    else:
+        tob = unb = lambda x: x
+
+    # Pixel-coordinate planes DIRECTLY in traversal order (analytic
+    # index decode — no materialized transpose; see walk_block_pixels).
+    if blocked and geom is not None:
+        px, py = wavefront.walk_block_pixels(rows, w, *geom)
+    elif blocked:
+        px, py = wavefront.block_pixels(rows, w, bh, bw)
+    else:
+        px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None, :],
+                              (rows, w)).reshape(-1)
+        py = jnp.broadcast_to(jnp.arange(rows, dtype=jnp.uint32)
+                              [:, None], (rows, w)).reshape(-1)
+    py = jnp.asarray(y0, jnp.uint32) + py
     seeds = rng.pixel_seed(px, py, frame)
 
     acc = _zero3(jnp.zeros((rows * w,), jnp.float32))
+    gbuffer = None
     for s in range(config.spp):
         seeds_s = seeds + jnp.uint32((s * 0x9E3779B9) & 0xFFFFFFFF)
+        pxf = px.astype(jnp.float32)
+        pyf = py.astype(jnp.float32)
         if config.jitter:
             jx, seeds_s = rng.rand(seeds_s)
             jy, seeds_s = rng.rand(seeds_s)
             # frame 0 uses the pixel center (ref: raytracing.slang:97).
             is_f0 = frame == 0
-            jit = (jnp.where(is_f0, 0.5, jx), jnp.where(is_f0, 0.5, jy))
-        else:
-            jit = None
-        o, d = primary_rays_p(cam.origin, cam.basis, cam.tan_half_fovy,
-                              cam.aspect, w, config.height, jitter=jit,
-                              y0=y0, rows=rows)
-        o = o.reshape(-1)
-        d = d.reshape(-1)
-        seeds_flat = seeds_s.reshape(-1)
-
-        from .ops import traversal_pallas, wavefront
-
-        bh = traversal_pallas.TILE_ROWS
-        bw = traversal_pallas.TILE_LANES
-        # Pixel-block reorder: each traversal tile then sees a compact
-        # image block instead of a thin strip — measured ~30% fewer
-        # leaf visits.  Pure reshape/transpose, no gathers.  With
-        # multiple independent walks per kernel block (HRT_WALKS > 1)
-        # the nested ordering gives each WALK its own square-ish
-        # pixel block (e.g. 8 rows x 8 walks -> 32x32 blocks), which is
-        # what makes small-tile walks pay: leaf work runs only in the
-        # walk whose frustum actually overlaps the leaf.
-        want_block = (config.block_reorder
-                      and config.traversal in ("pallas", "auto")
-                      and accel is not None)
-        geom = None
-        if want_block and traversal_pallas.WALKS > 1:
-            g = wavefront.walk_block_geometry(bh, traversal_pallas.WALKS)
-            if (g is not None and rows % (g[2] * g[0]) == 0
-                    and w % (g[3] * g[1]) == 0):
-                geom = g
-        elif (want_block
-              and traversal_pallas.use_wide8(
-                  getattr(accel, "base", accel))
-              and bh % 8 == 0 and bh > 8):
-            # Wide8 walk: square 32x32 blocks per (8,128) ray GROUP
-            # (the kernel's per-group predication granularity) — strip
-            # groups span the whole image width and predicate nothing.
-            g = wavefront.walk_block_geometry(8, bh // 8)
-            if (g is not None and rows % (g[2] * g[0]) == 0
-                    and w % (g[3] * g[1]) == 0):
-                geom = g
-        blocked = want_block and (geom is not None
-                                  or (rows % bh == 0 and w % bw == 0))
-        if blocked:
-            if geom is not None:
-                tob = lambda x: wavefront.to_walk_blocks(
-                    x, rows, w, *geom)
-            else:
-                tob = lambda x: wavefront.to_blocks(x, rows, w, bh, bw)
-            o, d = o.map(tob), d.map(tob)
-            seeds_flat = tob(seeds_flat)
+            pxf = pxf + jnp.where(is_f0, 0.5, jx)
+            pyf = pyf + jnp.where(is_f0, 0.5, jy)
+        o, d = primary_rays_from_px_p(
+            cam.origin, cam.basis, cam.tan_half_fovy, cam.aspect,
+            w, config.height, pxf, pyf)
 
         take_gb = want_gbuffer and s == 0
-        out = trace_paths(scene, accel, o, d, seeds_flat, config,
+        out = trace_paths(scene, accel, o, d, seeds_s, config,
                           want_gbuffer=take_gb)
         rad = out[0] if take_gb else out
         if take_gb:
             gbuffer = out[1]
-        if blocked:
-            if geom is not None:
-                unb = lambda x: wavefront.from_walk_blocks(
-                    x, rows, w, *geom)
-            else:
-                unb = lambda x: wavefront.from_blocks(x, rows, w, bh, bw)
-            rad = rad.map(unb)
-            if take_gb:
-                gbuffer = {k: unb(v) for k, v in gbuffer.items()}
         acc = acc + rad
+    acc = acc.map(unb)
+    if gbuffer is not None:
+        gbuffer = {k: unb(v) for k, v in gbuffer.items()}
     img = (acc * (1.0 / jnp.float32(config.spp))).to_array() \
         .reshape(rows, w, 3)
     if want_gbuffer:

@@ -41,7 +41,7 @@ def capture(frames: int, trace_dir: str) -> None:
     scene = build_bench_scene().build()
     cams = camera_arrays(Camera(position=(0.0, -1.0, -6.0),
                                 rotation=(-0.15, 0.0, 0.0)), cfg)
-    accel = lbvh.build_bvh_sah(scene, leaf_size=16)
+    accel = lbvh.build_bvh_sah(scene, leaf_size=32)
 
     img = render_frame(scene, accel, cams, jnp.uint32(0), cfg)
     jax.block_until_ready(img)

@@ -75,7 +75,7 @@ def render_sequence(n_frames: int, size=(256, 256), scene_kind="bench",
                           indirect=True, jitter=True, sky=True,
                           spp=clean_spp, traversal="pallas")
     scene = scene_obj.build()
-    accel = lbvh.build_bvh_sah(scene, 16)
+    accel = lbvh.build_bvh_sah(scene, 32)
 
     @functools.partial(jax.jit, static_argnames=("config",))
     def render_gb(scene, accel, cams, frame, config):

@@ -20,6 +20,7 @@ import time
 
 def run_one(probe: str) -> None:
     os.environ["HRT_W8_PROBE"] = probe
+    leaf = int(os.environ.get("HRT_PROBE_LEAF", "32"))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,7 +36,7 @@ def run_one(probe: str) -> None:
     from hrt_tpu.utils import xprof
 
     scene = bench.build_bench_scene().build()
-    accel = lbvh.build_bvh_sah(scene, leaf_size=16)
+    accel = lbvh.build_bvh_sah(scene, leaf_size=leaf)
     cfg = RenderConfig(width=512, height=384, max_depth=1, sky=True)
     cams = camera_arrays(Camera(position=(0, -1, -6),
                                 rotation=(-0.15, 0, 0)), cfg)
@@ -58,8 +59,8 @@ def run_one(probe: str) -> None:
     nw = w8.shape[0] * 16
 
     t, tri, _, _ = jax.block_until_ready(trace_tiles_wide8(
-        *comps_c, w8, tris, nw=nw, leaf_size=16, t_min=1e-3,
-        find_closest=True))
+        *comps_c, w8, tris, nw=nw, leaf_size=leaf, t_min=1e-3,
+        find_closest=True))[:4]
     hitp_x = tt(o.x) + tt(d.x) * t
     hitp_y = tt(o.y) + tt(d.y) * t
     hitp_z = tt(o.z) + tt(d.z) * t
@@ -69,12 +70,12 @@ def run_one(probe: str) -> None:
     comps_s = [hitp_x, hitp_y, hitp_z, sdx, sdy, sdz, st]
 
     rec = {"probe": probe or "normal", "rows": tp.TILE_ROWS,
-           "unroll": tp.LEAF_UNROLL}
+           "unroll": tp.LEAF_UNROLL, "leaf": leaf}
     for name, comps, fc in (("closest", comps_c, True),
                             ("shadow", comps_s, False)):
         def call():
             return trace_tiles_wide8(*comps, w8, tris, nw=nw,
-                                     leaf_size=16, t_min=1e-3,
+                                     leaf_size=leaf, t_min=1e-3,
                                      find_closest=fc)
 
         jax.block_until_ready(call())
@@ -88,9 +89,9 @@ def run_one(probe: str) -> None:
             out = call()
             cnt = np.asarray(out[4])
             vis = cnt[0::tp.TILE_ROWS, 0]
-            leaf = cnt[1::tp.TILE_ROWS, 0]
+            lf = cnt[1::tp.TILE_ROWS, 0] // 1024
             rec[name + "_visits_tile"] = round(float(vis.mean()), 1)
-            rec[name + "_leaf_tile"] = round(float(leaf.mean()), 1)
+            rec[name + "_leaf_tile"] = round(float(lf.mean()), 1)
     with open("/tmp/w8_probe.jsonl", "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
