@@ -756,17 +756,19 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
     else:
         tob = unb = lambda x: x
 
-    # Pixel-coordinate planes DIRECTLY in traversal order (analytic
-    # index decode — no materialized transpose; see walk_block_pixels).
-    if blocked and geom is not None:
-        px, py = wavefront.walk_block_pixels(rows, w, *geom)
-    elif blocked:
-        px, py = wavefront.block_pixels(rows, w, bh, bw)
-    else:
-        px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None, :],
-                              (rows, w)).reshape(-1)
-        py = jnp.broadcast_to(jnp.arange(rows, dtype=jnp.uint32)
-                              [:, None], (rows, w)).reshape(-1)
+    # Pixel-coordinate planes in traversal order.  NOTE layout hazard:
+    # deriving px/py analytically from a 1-D iota (wavefront.
+    # walk_block_pixels — exact, and no transpose) flips XLA's layout
+    # assignment for the ENTIRE shading graph to 1-D T(1024) and costs
+    # +1.7 ms/frame in relayout fusions (measured; same failure mode as
+    # the shadow-origin concatenate incident, CLAUDE.md).  The 6-D
+    # transpose of the two index planes (~0.15 ms) is what anchors the
+    # downstream 2-D tiled layouts — keep it.
+    px = jnp.broadcast_to(jnp.arange(w, dtype=jnp.uint32)[None, :],
+                          (rows, w)).reshape(-1)
+    py = jnp.broadcast_to(jnp.arange(rows, dtype=jnp.uint32)
+                          [:, None], (rows, w)).reshape(-1)
+    px, py = tob(px), tob(py)
     py = jnp.asarray(y0, jnp.uint32) + py
     seeds = rng.pixel_seed(px, py, frame)
 
