@@ -36,6 +36,9 @@ class RenderConfig:
     # default; useful for very deep incoherent paths.
     sort_bounces: bool = False
     brdf: str = "disney"             # disney | pbr (glTF metallic-rough)
+    # Predicated Pallas shading (ops/shade_pallas.py): per-(8,128)-group
+    # skip of the Disney evaluation for sky/back-facing/dead lanes.
+    shade_pallas: bool = True
     # Many-light NEE: 0 = shadow ray per light (reference behavior,
     # raytracing.slang:77-85); N>0 = sample N lights per shading point
     # by unshadowed contribution (the light-BVH stand-in the reference

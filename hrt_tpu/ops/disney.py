@@ -21,17 +21,26 @@ callers (tests, compat paths).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.materials import MatP
 from . import v3
 from .v3 import V3
 
-PI = jnp.float32(3.1415926535897)
-ONE_OVER_PI = jnp.float32(0.3183098861837)
+# numpy scalars (not jnp arrays): jnp constants at module level become
+# captured tracer constants inside Pallas kernels (shade_pallas.py);
+# np.float32 folds to the same f32 literal in both paths.
+PI = np.float32(3.1415926535897)
+ONE_OVER_PI = np.float32(0.3183098861837)
 
 
 def schlick_fresnel(f0, vdoth):
-    return f0 + (1.0 - f0) * jnp.power(1.0 - vdoth, 5.0)
+    # Explicit multiply chain instead of jnp.power: same math (modulo
+    # ulps; golden tests are PSNR-gated), and it lowers in Mosaic so
+    # the predicated shading kernel (ops/shade_pallas.py) can share
+    # this exact definition with the XLA path.
+    m = 1.0 - vdoth
+    return f0 + (1.0 - f0) * (m * m * m * m * m)
 
 
 def schlick_weight(f):

@@ -425,7 +425,6 @@ def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
         ldir, lcol, lint, unb = process_light_one(scene.lights[i],
                                                   world_pos)
         l = v3.normalize(ldir)
-        f = _eval_brdf_p(config, mat, rows, n, view, l, frame)
         # A shadow ray only matters when the BRDF can be nonzero and the
         # light passes the intensity threshold (raytracing.slang:78-79).
         ndotl = v3.dot(n, l)
@@ -453,20 +452,39 @@ def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
             d_i = l
             reach = jnp.where(unb, INF, v3.length(ldir))
             st = jnp.where(relevant, reach, -1.0)  # -1 = dead lane
-        contrib = f * lcol * lint
-        per_light.append((d_i, st, relevant, contrib, o_i))
+        per_light.append((d_i, st, relevant, lcol, lint, o_i, l))
+
+    cat = jnp.concatenate
+    # BRDF: one predicated Pallas call over the light-major batch
+    # (sky / back-facing / sub-threshold GROUPS skip the whole Disney
+    # evaluation — ops/shade_pallas.py, the SBT-dispatch analogue).
+    # The pbr BSDF and explicit opt-out keep the XLA elementwise path.
+    if config.shade_pallas and config.brdf != "pbr":
+        from .ops import shade_pallas
+
+        l_lm = V3(cat([p[6].x for p in per_light]),
+                  cat([p[6].y for p in per_light]),
+                  cat([p[6].z for p in per_light]))
+        rel_lm = cat([p[2] for p in per_light])
+        f_lm = shade_pallas.brdf_light_major(mat, n, view, l_lm,
+                                             rel_lm, num_lights)
+        nr = n.x.shape[0]
+        fs = [f_lm.map(lambda a, i=i: a[i * nr:(i + 1) * nr])
+              for i in range(num_lights)]
+    else:
+        fs = [_eval_brdf_p(config, mat, rows, n, view, p[6], frame)
+              for p in per_light]
 
     # Shadow rays (ref: testShadow, raytracing.slang:56-70), flattened
     # LIGHT-major in one trace call.
-    cat = jnp.concatenate
     sd = V3(cat([p[0].x for p in per_light]),
             cat([p[0].y for p in per_light]),
             cat([p[0].z for p in per_light]))
     st = cat([p[1] for p in per_light])
     if config.shadow_from_light:
-        so = V3(cat([p[4].x for p in per_light]),
-                cat([p[4].y for p in per_light]),
-                cat([p[4].z for p in per_light]))
+        so = V3(cat([p[5].x for p in per_light]),
+                cat([p[5].y for p in per_light]),
+                cat([p[5].z for p in per_light]))
     else:
         so = shadow_o.map(lambda a: jnp.tile(a, num_lights))
     occluded = trace_any_p(scene, accel, so, sd, config.t_min, st,
@@ -474,9 +492,10 @@ def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
 
     nrays = n.x.shape[0]
     out = _zero3(n.x)
-    for i, (_, _, relevant, contrib, _) in enumerate(per_light):
+    for i, (_, _, relevant, lcol, lint, _, _) in enumerate(per_light):
         vis = 1.0 - occluded[i * nrays:(i + 1) * nrays].astype(
             jnp.float32)
+        contrib = fs[i] * lcol * lint
         out = out + v3.where(relevant, contrib * vis, _zero3(n.x))
     return out, seed
 
