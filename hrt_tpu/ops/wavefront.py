@@ -138,5 +138,29 @@ def direction_order_key_p(d) -> jnp.ndarray:
     return octant.astype(jnp.float32) * 16.0 + (d.y * 4.0 + d.z)
 
 
+def bounce_sort_key_p(o, d) -> jnp.ndarray:
+    """Bounce-ray coherence key: Morton code of the ray ORIGIN (batch
+    bounds), direction octant in the low bits — u32.
+
+    The wide8 kernel's cost is per-GROUP: a (8, 128) group pays node
+    expansions and leaf Moller for the union of its rays' footprints,
+    so spatial clustering of bounce origins is what shrinks the walk
+    (direction-octant alone left bounce closest passes ~10x the
+    primary's cost at 1080p).  Origins cluster the subsequent
+    light-major shadow segments too."""
+    from . import morton
+
+    lo = jnp.stack([jnp.min(o.x), jnp.min(o.y), jnp.min(o.z)])
+    hi = jnp.stack([jnp.max(o.x), jnp.max(o.y), jnp.max(o.z)])
+    extent = jnp.maximum(hi - lo, 1e-9)
+    q = lambda c, i: jnp.clip((c - lo[i]) / extent[i] * 1024.0,
+                              0.0, 1023.0).astype(jnp.uint32)
+    code = morton.morton3d(q(o.x, 0), q(o.y, 1), q(o.z, 2))
+    octant = ((d.x > 0).astype(jnp.uint32)
+              | ((d.y > 0).astype(jnp.uint32) << 1)
+              | ((d.z > 0).astype(jnp.uint32) << 2))
+    return (code << jnp.uint32(2)) | (octant >> jnp.uint32(1))
+
+
 
 

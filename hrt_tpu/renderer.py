@@ -607,28 +607,41 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
                                        sorted_ids=use_sorted)
         return t, tri, None, u, v
 
+    # Sorted-wavefront mode (config.sort_bounces): at every bounce the
+    # WHOLE wavefront state co-sorts by (origin Morton | direction
+    # octant) in one multi-operand lax.sort — rays stay sorted through
+    # trace + shading + the light-major shadow batch, and only the
+    # final radiance sorts back by the carried pixel index.  A
+    # multi-operand sort moves 15 planes of 2M rays in ~10 ms device;
+    # the naive argsort + per-plane gathers measured ~200 ms (TPU
+    # gathers at T(1024) granularity) — the reason round-1 rejected
+    # "bounce direction sort" outright.  Dead rays key to the back, so
+    # whole trailing tiles retire at the BVH root.  Per-ray math is
+    # order-independent: output radiance matches unsorted to float-
+    # reassociation ulps (different fusion layouts).
+    orig = None
     for depth in range(config.max_depth):
+        if config.sort_bounces and depth > 0:
+            from .ops import wavefront
+
+            if orig is None:
+                orig = jnp.arange(n, dtype=jnp.uint32)
+            okey = wavefront.bounce_sort_key_p(o, d)
+            key = jnp.where(active, okey, jnp.uint32(0xFFFFFFFF))
+            (_, ox_, oy_, oz_, dx_, dy_, dz_, seed, tx_, ty_, tz_,
+             rx_, ry_, rz_, orig, act_) = jax.lax.sort(
+                [key, o.x, o.y, o.z, d.x, d.y, d.z, seed,
+                 throughput.x, throughput.y, throughput.z,
+                 radiance.x, radiance.y, radiance.z, orig,
+                 active.astype(jnp.uint32)],
+                dimension=0, is_stable=False, num_keys=1)
+            o, d = V3(ox_, oy_, oz_), V3(dx_, dy_, dz_)
+            throughput, radiance = V3(tx_, ty_, tz_), V3(rx_, ry_, rz_)
+            active = act_ > 0
         # Retired rays trace with t_max = -1: the packet kernel drops
         # them at the root, and fully-dead tiles exit in one step.
         t_max = INF if depth == 0 else jnp.where(active, INF, -1.0)
-        if config.sort_bounces and depth > 0:
-            # Wavefront re-sort: cluster live bounce rays by direction
-            # octant so packets stay coherent (the SIMT-reconvergence
-            # analogue, SURVEY.md H3).  Dead rays sort to the back so
-            # whole trailing tiles retire instantly.
-            from .ops import wavefront
-
-            okey = wavefront.direction_order_key_p(d)
-            key = jnp.where(active, okey, jnp.float32(1e9))
-            perm = jnp.argsort(key)
-            inv = jnp.argsort(perm)
-            t, tri, inst, u, v = _trace(o.map(lambda a: a[perm]),
-                                        d.map(lambda a: a[perm]),
-                                        t_max[perm])
-            t, tri, u, v = t[inv], tri[inv], u[inv], v[inv]
-            inst = None if inst is None else inst[inv]
-        else:
-            t, tri, inst, u, v = _trace(o, d, t_max)
+        t, tri, inst, u, v = _trace(o, d, t_max)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,
@@ -706,6 +719,14 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
         # Deactivated rays keep tracing harmlessly with throughput 0 —
         # static shapes, no compaction needed at this scale.
         throughput = v3.where(active, throughput, _zero3(o.x))
+
+    if orig is not None:
+        # Back to pixel order: one co-sort by the carried pixel index
+        # (unique key, so the result is deterministic).
+        _, rx_, ry_, rz_ = jax.lax.sort(
+            [orig, radiance.x, radiance.y, radiance.z],
+            dimension=0, is_stable=False, num_keys=1)
+        radiance = V3(rx_, ry_, rz_)
 
     if want_gbuffer:
         if gbuffer is None:  # max_depth == 0 edge case

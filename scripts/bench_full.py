@@ -120,13 +120,13 @@ def main():
     run("path_tracing_1080p", bench.build_bench_scene(), demo_cam,
         RenderConfig(width=1920, height=1080, max_depth=5, sky=True,
                      indirect=True, jitter=True, accumulate=True,
-                     traversal="pallas"))
+                     sort_bounces=True, traversal="pallas"))
 
     # 5. 4K output: 1080p path traced -> SVGF denoise -> 2x upscale
     run("animated_4k_upscaled", bench.build_bench_scene(), demo_cam,
         RenderConfig(width=1920, height=1080, max_depth=3, sky=True,
                      indirect=True, jitter=True, denoise=True,
-                     upscale=2, traversal="pallas"),
+                     sort_bounces=True, upscale=2, traversal="pallas"),
         spp_note="3840x2160 output via denoise + learned 2x upscale")
 
     # 6. Many-instance scene through the in-kernel TLAS/BLAS path

@@ -32,8 +32,17 @@ def capture(frames: int, trace_dir: str) -> None:
     from hrt_tpu.renderer import camera_arrays, render_frame
 
     import dataclasses
-    cfg = RenderConfig(width=512, height=384, max_depth=1, sky=True,
-                       traversal="auto")
+    which = os.environ.get("HRT_PROFILE_CFG", "bench")
+    if which == "path1080":
+        cfg = RenderConfig(width=1920, height=1080, max_depth=5,
+                           sky=True, indirect=True, jitter=True,
+                           accumulate=True, traversal="pallas")
+    if os.environ.get("HRT_PROFILE_SORT"):
+        cfg = dataclasses.replace(
+            cfg, sort_bounces=bool(int(os.environ["HRT_PROFILE_SORT"])))
+    else:
+        cfg = RenderConfig(width=512, height=384, max_depth=1, sky=True,
+                           traversal="auto")
     if os.environ.get("HRT_PROFILE_SFL") == "0":
         cfg = dataclasses.replace(cfg, shadow_from_light=False)
     elif os.environ.get("HRT_PROFILE_SFL") == "1":
