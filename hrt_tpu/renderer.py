@@ -626,18 +626,19 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
 
             if orig is None:
                 orig = jnp.arange(n, dtype=jnp.uint32)
+            DEAD = jnp.uint32(0xFFFFFFFF)
             okey = wavefront.bounce_sort_key_p(o, d)
-            key = jnp.where(active, okey, jnp.uint32(0xFFFFFFFF))
-            (_, ox_, oy_, oz_, dx_, dy_, dz_, seed, tx_, ty_, tz_,
-             rx_, ry_, rz_, orig, act_) = jax.lax.sort(
+            # Live keys shift right one bit so DEAD can't collide.
+            key = jnp.where(active, okey >> jnp.uint32(1), DEAD)
+            (key_, ox_, oy_, oz_, dx_, dy_, dz_, seed, tx_, ty_, tz_,
+             rx_, ry_, rz_, orig) = jax.lax.sort(
                 [key, o.x, o.y, o.z, d.x, d.y, d.z, seed,
                  throughput.x, throughput.y, throughput.z,
-                 radiance.x, radiance.y, radiance.z, orig,
-                 active.astype(jnp.uint32)],
+                 radiance.x, radiance.y, radiance.z, orig],
                 dimension=0, is_stable=False, num_keys=1)
             o, d = V3(ox_, oy_, oz_), V3(dx_, dy_, dz_)
             throughput, radiance = V3(tx_, ty_, tz_), V3(rx_, ry_, rz_)
-            active = act_ > 0
+            active = key_ != DEAD  # rides the key, not its own operand
         # Retired rays trace with t_max = -1: the packet kernel drops
         # them at the root, and fully-dead tiles exit in one step.
         t_max = INF if depth == 0 else jnp.where(active, INF, -1.0)
