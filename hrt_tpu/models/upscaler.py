@@ -202,6 +202,22 @@ def train_step_temporal(state: TrainState, net, tx, lr_batch,
     return TrainState(params, opt_state, state.step + 1), loss
 
 
+def _upsample2_corner(img: jnp.ndarray) -> jnp.ndarray:
+    """Exact corner-convention 2x bilinear upsample of (H, W, C):
+    out[2i, 2j] = img[i, j], odd coordinates average their neighbors
+    (edge-clamped) — the closed form of _bilinear at the half-integer
+    grid, with zero gathers."""
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    row0 = img
+    row1 = (img + right) * 0.5
+    wide = jnp.stack([row0, row1], axis=2).reshape(
+        img.shape[0], 2 * img.shape[1], img.shape[2])
+    down = jnp.concatenate([wide[1:], wide[-1:]], axis=0)
+    out = jnp.stack([wide, (wide + down) * 0.5], axis=1)
+    return out.reshape(2 * img.shape[0], 2 * img.shape[1],
+                       img.shape[2])
+
+
 def reproject_history(hist: jnp.ndarray, world_pos, hit_mask, prev_cam,
                       width: int, height: int) -> jnp.ndarray:
     """Warp the previous HR output onto the current frame.
@@ -219,11 +235,11 @@ def reproject_history(hist: jnp.ndarray, world_pos, hit_mask, prev_cam,
     # HR coordinate (2i, 2j) under the launchID pixel convention
     # (clip = id/size*2-1, ref: raytracing.slang:100) — jax.image.resize
     # uses half-pixel centers and would shift motion by ~0.5 HR px.
-    ys = jnp.arange(h2, dtype=jnp.float32)[:, None] * 0.5
-    xs = jnp.arange(w2, dtype=jnp.float32)[None, :] * 0.5
-    wp, _ = _bilinear(world_pos, jnp.broadcast_to(xs, (h2, w2)),
-                      jnp.broadcast_to(ys, (h2, w2)))
-    hm = hit_mask[jnp.arange(h2) // 2][:, jnp.arange(w2) // 2]
+    # The sample grid is exactly half-integer, so the bilinear fetch is
+    # a SEPARABLE neighbor average — pure shifts/interleaves instead of
+    # 4 gathers of an (2H*2W, 3) table (measured ~70 ms at 4K).
+    wp = _upsample2_corner(world_pos)
+    hm = jnp.repeat(jnp.repeat(hit_mask, 2, axis=0), 2, axis=1)
     px, py, _ = _project(wp, prev_cam.origin, prev_cam.basis,
                          prev_cam.tan_half_fovy, prev_cam.aspect,
                          w2, h2)
