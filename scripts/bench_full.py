@@ -77,7 +77,11 @@ def main():
 
     results = []
 
+    only = os.environ.get("HRT_BENCH_ONLY")
+
     def run(name, scene, cam, cfg, spp_note="", two_level=False):
+        if only and only not in name:
+            return
         loop = FrameLoop(scene, cfg, cull_threshold_px=0.0,
                          two_level=two_level)
         dt, dev_ms, shape = time_loop(loop, cam)
@@ -137,6 +141,16 @@ def main():
         spp_note="256 instances, two-level TLAS->BLAS kernel",
         two_level=True)
 
+    if only:
+        # Merge the re-run configs into the existing record.
+        try:
+            with open("BENCH_FULL.json") as f:
+                prev = {r["config"]: r for r in json.load(f)}
+        except Exception:
+            prev = {}
+        for r in results:
+            prev[r["config"]] = r
+        results = list(prev.values())
     with open("BENCH_FULL.json", "w") as f:
         json.dump(results, f, indent=2)
 
