@@ -621,7 +621,11 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
     # reassociation ulps (different fusion layouts).
     orig = None
     for depth in range(config.max_depth):
-        if config.sort_bounces and depth > 0:
+        # Sort the first two bounces only: Russian roulette has killed
+        # most rays by depth 3, the depth-2 order is still a good
+        # cluster for the survivors, and each skipped sort saves its
+        # ~17 ms (1080p) of lax.sort time.
+        if config.sort_bounces and 0 < depth <= 2:
             from .ops import wavefront
 
             if orig is None:
