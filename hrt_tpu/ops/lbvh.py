@@ -91,13 +91,18 @@ class Accel:
 
     `w8` is the optional sublane-record BVH8 table (ops/wide8.py) over
     the SAME leaf pool — the one-crossing-per-8-children traversal
-    kernel (ops/traversal_wide8.py) uses it when present."""
+    kernel (ops/traversal_wide8.py) uses it when present.  `w8_lb`
+    (static) says the leaf pool was reordered so each wide node's leaf
+    children are contiguous and the records carry per-node leaf_base —
+    the kernel then derives hit-child triangle starts from ONE scalar
+    crossing per visit instead of one per hit child."""
 
     tree: BVH
     flat: FlatBVH
     leaf_size: int = flax_struct.field(pytree_node=False, default=8)
     attr: jnp.ndarray | None = None
     w8: jnp.ndarray | None = None
+    w8_lb: bool = flax_struct.field(pytree_node=False, default=False)
 
 
 # Column where the material row starts inside Accel.attr.
@@ -464,9 +469,39 @@ def build_bvh_sah(scene: SceneData, leaf_size: int = 16,
     return attach_wide8(accel, lmin, lmax)
 
 
+@functools.partial(jax.jit, static_argnames=("leaf_size",))
+def _apply_leaf_reorder(tree: BVH, leaf_min, leaf_max, old_of_new,
+                        leaf_size: int):
+    """Permute the leaf pool by `old_of_new` (new block b holds old
+    block old_of_new[b]) and renumber the tree's leaf children to
+    match — topology and boxes are untouched, only leaf IDs move."""
+    nl_pool = leaf_min.shape[0]
+    new_pos = jnp.zeros((nl_pool,), I32).at[old_of_new].set(
+        jnp.arange(nl_pool, dtype=I32))
+
+    def blk(a):
+        return a.reshape(nl_pool, leaf_size, *a.shape[1:])[
+            old_of_new].reshape(a.shape)
+
+    def remap(c):
+        leaf = jnp.clip(-(c + 1), 0, nl_pool - 1)
+        return jnp.where(c < 0, -(new_pos[leaf] + 1), c)
+
+    tree2 = tree._replace(
+        child_l=remap(tree.child_l), child_r=remap(tree.child_r),
+        tri_v0=blk(tree.tri_v0), tri_e1=blk(tree.tri_e1),
+        tri_e2=blk(tree.tri_e2), tri_perm=blk(tree.tri_perm))
+    return tree2, leaf_min[old_of_new], leaf_max[old_of_new]
+
+
 def attach_wide8(accel: Accel, leaf_min=None, leaf_max=None) -> Accel:
     """Build + attach the sublane-record BVH8 (host-eager: the wide
-    node count is data-dependent).  No-op when disabled or too big."""
+    node count is data-dependent).  No-op when disabled or too big.
+
+    Default path reorders the leaf pool so each wide node's leaf
+    children are contiguous (wide8._assemble reorder) — the whole accel
+    (tree leaf ids, flat table, attr rows) is permuted to match, so the
+    classic fallback kernel and shading stay exact on the same accel."""
     import os
 
     if not bool(int(os.environ.get("HRT_WIDE8_BUILD", "1"))):
@@ -477,8 +512,23 @@ def attach_wide8(accel: Accel, leaf_min=None, leaf_max=None) -> Accel:
         from .wide import _leaf_boxes
 
         leaf_min, leaf_max = _leaf_boxes(accel)
-    rec = wide8.build_wide8(accel.tree, leaf_min, leaf_max,
-                            accel.leaf_size)
-    if rec is None:
+    leaf_min = jnp.asarray(leaf_min)
+    leaf_max = jnp.asarray(leaf_max)
+    out = wide8.build_wide8(accel.tree, leaf_min, leaf_max,
+                            accel.leaf_size, reorder=True)
+    if out is None:
         return accel
-    return accel.replace(w8=rec)
+    if not isinstance(out, tuple):       # overflow fallback: no reorder
+        return accel.replace(w8=out)
+    rec, old_of_new = out
+    tree2, lmin2, lmax2 = _apply_leaf_reorder(
+        accel.tree, leaf_min, leaf_max, old_of_new, accel.leaf_size)
+    flat2 = flatten_bvh_full(tree2, lmin2, lmax2, accel.leaf_size)
+    attr2 = accel.attr
+    if attr2 is not None:
+        nl_pool = lmin2.shape[0]
+        attr2 = attr2.reshape(nl_pool, accel.leaf_size,
+                              attr2.shape[-1])[old_of_new].reshape(
+                                  attr2.shape)
+    return accel.replace(tree=tree2, flat=flat2, attr=attr2, w8=rec,
+                         w8_lb=True)

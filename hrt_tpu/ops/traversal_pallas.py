@@ -550,7 +550,8 @@ def _run_planes(scene, accel, ox, oy, oz, dx, dy, dz, t_min, t_max,
         t, tri, u, v = traversal_wide8.trace_tiles_wide8(
             *comps, accel.w8, flat.tris,
             nw=accel.w8.shape[0] * 16, leaf_size=leaf_size,
-            t_min=float(t_min), find_closest=find_closest)[:4]
+            t_min=float(t_min), find_closest=find_closest,
+            leaf_base=accel.w8_lb)[:4]
     else:
         t, tri, u, v = _trace_tiles(
             *comps, flat.nodes, flat.tris,

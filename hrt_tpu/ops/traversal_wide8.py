@@ -53,7 +53,7 @@ PROBE8 = _os.environ.get("HRT_W8_PROBE", "")
 
 def _make_kernel(nw: int, leaf_size: int, t_min: float,
                  find_closest: bool, tris_in_vmem: bool = True,
-                 exact: bool = False):
+                 exact: bool = False, leaf_base: bool = False):
     """exact=False: conservative per-group interval node tests (fast
     for coherent bundles — primary/bounce blocks).  exact=True: per-RAY
     slab tests of all 8 children against every ray row (the box is
@@ -251,7 +251,13 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
             leaf_bits = jnp.where(is_leaf & childhit,
                                   jnp.int32(256) << sub1, 0)
             # ONE packed crossing: base | leaf slots | internal ranks.
-            p = jnp.sum(int_bits + leaf_bits + base_l * 65536)
+            # Reorder-built records carry leaf_base<<8 in sublane 1 of
+            # lane 7 (read by the leaf crossing below) — mask base to
+            # sublane 0 ALWAYS, not just in leaf_base mode, or the
+            # HRT_W8_LB=0 A/B path walks corrupted bases on the same
+            # records (out-of-bounds fetch -> device fault).
+            base_b = jnp.where(sub1 == 0, base_l, 0)
+            p = jnp.sum(int_bits + leaf_bits + base_b * 65536)
             int_mask = p & 255
             leaf_mask = (p >> 8) & 255
             base = p >> 16
@@ -263,75 +269,105 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
             sp = sp + (int_mask != 0).astype(I32)
 
             # Hit leaf children: exact per-group Moller tests, gated by
-            # the child's own frustum bits (one predicated crossing
-            # carries tri_start and the group mask together).
+            # a group mask (a packed crossing carries tri_start and the
+            # group bits together).
             ghit_i = ghit.astype(I32) << glane           # (8, ng)
-            leaf_iter = range(0) if PROBE8 == "noleaf" else range(8)
-            for j in leaf_iter:
-                @pl.when(((leaf_mask >> j) & 1) == 1)
-                def _leaf(j=j):
-                    qv = jnp.sum(
-                        jnp.where(sub1 == j, ghit_i, 0)
-                        + jnp.where((sub1 == j) & (glane == 0),
-                                    meta * 256, 0))
-                    start = (qv >> 8) - 1
-                    gm = qv & 255
-                    if PROBE8 == "noextract":
-                        # Sink into the unused tlim padding lane so the
-                        # crossing survives DCE without altering the walk.
-                        tlim_ref[0:1, ng:ng + 1] = jnp.full(
-                            (1, 1), (start + gm).astype(jnp.float32))
-                        return
-                    lane0 = start % TILE_LANES
-                    if tris_in_vmem:
-                        lrec = _leaf_fetch(tris_ref, start)
-                    else:
-                        lrec = _leaf_fetch(tris_ref, start, scratch[0],
-                                           scratch[1])
-                    # Extract all K triangles ONCE per leaf visit (the
-                    # masked reduces are group-independent; re-running
-                    # them inside every hit group's branch measured
-                    # ~25% of the shadow pass).  Reduce-produced (1,1)
-                    # values broadcast against the (8,128) ray groups
-                    # for free.
-                    tris_k = [_tri_vecs(lrec, lane0 + k)
-                              for k in range(leaf_size)]
 
-                    for g in range(ng):
-                        sl = slice(8 * g, 8 * (g + 1))
+            def leaf_body(start, gm):
+                if PROBE8 == "noextract":
+                    # Sink into the unused tlim padding lane so the
+                    # crossing survives DCE without altering the walk.
+                    tlim_ref[0:1, ng:ng + 1] = jnp.full(
+                        (1, 1), (start + gm).astype(jnp.float32))
+                    return
+                lane0 = start % TILE_LANES
+                if tris_in_vmem:
+                    lrec = _leaf_fetch(tris_ref, start)
+                else:
+                    lrec = _leaf_fetch(tris_ref, start, scratch[0],
+                                       scratch[1])
+                # Extract all K triangles ONCE per leaf visit (the
+                # masked reduces are group-independent; re-running
+                # them inside every hit group's branch measured
+                # ~25% of the shadow pass).  Reduce-produced (1,1)
+                # values broadcast against the (8,128) ray groups
+                # for free.
+                tris_k = [_tri_vecs(lrec, lane0 + k)
+                          for k in range(leaf_size)]
 
-                        @pl.when(((gm >> g) & 1) == 1)
-                        def _group(sl=sl, g=g, start=start):
-                            bt = t_ref[sl, :]
-                            bi = tri_ref[sl, :]
-                            u_ = u_ref[sl, :]
-                            v_ = v_ref[sl, :]
-                            gox, goy, goz = ox[sl], oy[sl], oz[sl]
-                            gdx, gdy, gdz = dx[sl], dy[sl], dz[sl]
+                for g in range(ng):
+                    sl = slice(8 * g, 8 * (g + 1))
 
-                            for k in range(leaf_size):
-                                h, t, u, v = _moller(
-                                    tris_k[k], gox, goy, goz,
-                                    gdx, gdy, gdz, tmin, bt)
-                                bi = jnp.where(h, start + k, bi)
-                                if find_closest:
-                                    u_ = jnp.where(h, u, u_)
-                                    v_ = jnp.where(h, v, v_)
-                                    bt = jnp.where(h, t, bt)
-                            if not find_closest:
-                                occ = bi >= 0
-                                bt = jnp.where(occ, jnp.float32(-1.0),
-                                               bt)
-                            t_ref[sl, :] = bt
-                            tri_ref[sl, :] = bi
+                    @pl.when(((gm >> g) & 1) == 1)
+                    def _group(sl=sl, g=g, start=start):
+                        bt = t_ref[sl, :]
+                        bi = tri_ref[sl, :]
+                        u_ = u_ref[sl, :]
+                        v_ = v_ref[sl, :]
+                        gox, goy, goz = ox[sl], oy[sl], oz[sl]
+                        gdx, gdy, gdz = dx[sl], dy[sl], dz[sl]
+
+                        for k in range(leaf_size):
+                            h, t, u, v = _moller(
+                                tris_k[k], gox, goy, goz,
+                                gdx, gdy, gdz, tmin, bt)
+                            bi = jnp.where(h, start + k, bi)
                             if find_closest:
-                                u_ref[sl, :] = u_
-                                v_ref[sl, :] = v_
-                            if not exact:
-                                # Interval mode culls through tlim (the
-                                # exact test reads t_ref directly).
-                                tlim_ref[0:1, g:g + 1] = jnp.max(
-                                    bt, axis=(0, 1), keepdims=True)
+                                u_ = jnp.where(h, u, u_)
+                                v_ = jnp.where(h, v, v_)
+                                bt = jnp.where(h, t, bt)
+                        if not find_closest:
+                            occ = bi >= 0
+                            bt = jnp.where(occ, jnp.float32(-1.0),
+                                           bt)
+                        t_ref[sl, :] = bt
+                        tri_ref[sl, :] = bi
+                        if find_closest:
+                            u_ref[sl, :] = u_
+                            v_ref[sl, :] = v_
+                        if not exact:
+                            # Interval mode culls through tlim (the
+                            # exact test reads t_ref directly).
+                            tlim_ref[0:1, g:g + 1] = jnp.max(
+                                bt, axis=(0, 1), keepdims=True)
+
+            if leaf_base and PROBE8 != "noleaf":
+                # Leaf-base mode (wide8 reorder): the node's leaf
+                # children sit at leaf_base + j*K, so ONE crossing per
+                # leaf VISIT — leaf_base<<8 from record sublane 1 of
+                # lane 7, UNION group mask over the hit children —
+                # replaces one crossing per hit CHILD (the measured
+                # round-3 wall).  The union over-tests groups that hit
+                # only a sibling child; exactness is unaffected (Moller
+                # decides) and the trade wins while crossings cost
+                # ~0.5-0.75 us against (8,128)xK vector Moller.
+                @pl.when(leaf_mask != 0)
+                def _leaves():
+                    ubits = jnp.max(
+                        jnp.where(is_leaf & ghit, ghit_i, 0),
+                        axis=0, keepdims=True)           # (1, ng) OR
+                    lbrow = jnp.sum(
+                        jnp.where((sub1 == 1) & (glane == 0),
+                                  base_l, 0),
+                        axis=0, keepdims=True)           # (1, ng)
+                    q2 = jnp.sum(ubits + lbrow)          # ONE crossing
+                    gm = q2 & 255
+                    lb = q2 >> 8
+                    for j in range(8):
+                        @pl.when(((leaf_mask >> j) & 1) == 1)
+                        def _leaf(j=j):
+                            leaf_body(lb + j * leaf_size, gm)
+            else:
+                leaf_iter = (range(0) if PROBE8 == "noleaf"
+                             else range(8))
+                for j in leaf_iter:
+                    @pl.when(((leaf_mask >> j) & 1) == 1)
+                    def _leaf(j=j):
+                        qv = jnp.sum(
+                            jnp.where(sub1 == j, ghit_i, 0)
+                            + jnp.where((sub1 == j) & (glane == 0),
+                                        meta * 256, 0))
+                        leaf_body((qv >> 8) - 1, qv & 255)
 
             if not find_closest and not exact:
                 @pl.when(leaf_mask != 0)
@@ -423,7 +459,7 @@ def group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles: int):
 
 def trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
                       nw: int, leaf_size: int, t_min: float,
-                      find_closest: bool):
+                      find_closest: bool, leaf_base: bool = False):
     """Run the wide8 kernel over all ray tiles ((R, 128) planes in,
     (t, tri, u, v) planes out — same contract as tp._trace_tiles).
 
@@ -431,28 +467,40 @@ def trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
     they win BOTH passes on the bench scene (closest 1.53 ms vs 1.83
     interval / 2.55 classic; shadow 1.77 vs 6.7 interval / 2.33
     classic; visits ~9-10/tile at classic-level leaf work).  Override
-    with HRT_W8_EXACT=all|shadow|off (read eagerly, outside the jit)."""
+    with HRT_W8_EXACT=all|shadow|off (read eagerly, outside the jit).
+    leaf_base mode (HRT_W8_LB=1, requires reorder-built records /
+    Accel.w8_lb) trades one crossing per hit leaf CHILD for one per
+    leaf VISIT with a UNION group mask — measured LOSS on the bench
+    scene (closest 0.501 vs 0.462 ms, shadow 0.524 vs 0.489, stable
+    across interleaved repeats): typical visits hit ~1 leaf child, so
+    there is no crossing to save and the union's over-tested groups
+    pay K extra Moller rounds.  Default OFF; kept as a probe."""
     mode = _os.environ.get("HRT_W8_EXACT", "all")
     exact = {"all": True, "off": False}.get(mode, not find_closest)
+    leaf_base = leaf_base and bool(
+        int(_os.environ.get("HRT_W8_LB", "0")))
     return _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records,
                               flat_tris, nw=nw, leaf_size=leaf_size,
                               t_min=t_min, find_closest=find_closest,
-                              exact=exact)
+                              exact=exact, leaf_base=leaf_base)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nw", "leaf_size", "t_min",
-                                    "find_closest", "exact"))
+                                    "find_closest", "exact",
+                                    "leaf_base"))
 def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
                        nw: int, leaf_size: int, t_min: float,
-                       find_closest: bool, exact: bool):
+                       find_closest: bool, exact: bool,
+                       leaf_base: bool = False):
     rows = ox.shape[0]
     n_tiles = rows // TILE_ROWS
     bnd = group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles)
     tris_in_vmem = (records.size + flat_tris.size) <= tp.MAX_VMEM_F32
 
     kernel = _make_kernel(nw, leaf_size, t_min, find_closest,
-                          tris_in_vmem=tris_in_vmem, exact=exact)
+                          tris_in_vmem=tris_in_vmem, exact=exact,
+                          leaf_base=leaf_base)
     ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((1, 32, TILE_LANES), lambda i: (i, 0, 0),

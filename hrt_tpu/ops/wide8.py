@@ -20,8 +20,13 @@ box lanes are f32 bitcast to i32):
                    < 0          internal child, value = -(rank + 1)
                                 (rank among the node's internal
                                  children, slot order)
-    c == 7     : sublane 0 only: first-internal-child wide id ("base",
-                 i32 bits).  Internal child with rank r has id base+r.
+    c == 7     : sublane 0: first-internal-child wide id ("base", i32
+                 bits) — internal child with rank r has id base+r;
+                 sublane 1: leaf_base << 8 (tri_start of the node's
+                 FIRST leaf child; slots are leaf-first and the leaf
+                 pool is reordered so the j-th leaf child starts at
+                 leaf_base + j*K — one scalar crossing recovers every
+                 hit child's start).  Zero when built without reorder.
 
 After `pltpu.roll(rec, (16 - q%16) % 16 * 8, axis=2)` the node sits at
 lanes 0..8: every per-child quantity is a FREE static slice shaped
@@ -58,9 +63,22 @@ def _flags_and_ids(child_l, child_r):
     """Which binary nodes become wide nodes, plus their BFS ids.
 
     Returns (flags (Ni,) bool, ids (Ni,) i32 valid where flagged,
-    cuts (Ni, 8), EMPTY sentinel)."""
+    cuts (Ni, 8), EMPTY sentinel).
+
+    Slots are LEAF-FIRST within each node (stable): leaf children at
+    slots 0..nleaf-1, internal after, empties last.  With the leaf-pool
+    reorder (build_wide8 reorder=True) the j-th leaf child's triangle
+    block is leaf_base + j*K — the traversal kernel recovers every hit
+    child's start from ONE per-visit scalar (leaf_base) instead of one
+    vector->scalar crossing per hit child (the round-3 measured wall:
+    ~0.5-0.75 us per crossing, serialized)."""
     ni = child_l.shape[0]
     cuts, EMPTY = _cut(child_l, child_r, 3)            # (Ni, 8)
+    is_leaf0 = (cuts < 0) & (cuts != EMPTY)
+    cls = jnp.where(is_leaf0, 0, jnp.where(cuts >= 0, 8, 16))
+    slot_key = cls + jnp.arange(ARITY, dtype=I32)[None]
+    cuts = jnp.take_along_axis(cuts, jnp.argsort(slot_key, axis=1),
+                               axis=1)
     is_int = cuts >= 0
     safe_int = jnp.clip(cuts, 0, ni - 1)
 
@@ -120,20 +138,44 @@ def _count_wide(child_l, child_r):
     return jnp.sum(flags.astype(I32))
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_size", "nw_pad"))
+@functools.partial(jax.jit,
+                   static_argnames=("leaf_size", "nw_pad", "reorder"))
 def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
-              nw_pad: int, leaf_vals=None):
+              nw_pad: int, leaf_vals=None, reorder: bool = False):
     """leaf_vals: optional (NL,) i32 of per-sorted-leaf meta payloads
     (meta = leaf_vals[leaf] + 1).  Default: tri_start = leaf*leaf_size.
-    The TLAS build passes ORIGINAL instance ids here (ops/tlas.py)."""
+    The TLAS build passes ORIGINAL instance ids here (ops/tlas.py).
+
+    reorder=True additionally computes the LEAF-POOL PERMUTATION that
+    groups each wide node's direct leaf children contiguously (in slot
+    order — slots are already leaf-first): metas/leaf_base are emitted
+    against the NEW positions and `old_of_new` (NL,) is returned so the
+    caller can permute the triangle pool to match (lbvh.attach_wide8).
+    Unreferenced pool blocks (SAH padding) keep their relative order at
+    the end."""
     ni = tree.child_l.shape[0]
     nl = ni + 1
     flags, ids, cuts, EMPTY = _flags_and_ids(tree.child_l, tree.child_r)
     is_int = cuts >= 0
     is_leaf = (cuts < 0) & (cuts != EMPTY)
     safe_int = jnp.clip(cuts, 0, ni - 1)
-    leaf_of = jnp.clip(-(cuts + 1), 0, leaf_min.shape[0] - 1)
+    nl_pool = leaf_min.shape[0]
+    leaf_of = jnp.clip(-(cuts + 1), 0, nl_pool - 1)
     big = jnp.float32(3e38)
+
+    old_of_new = None
+    if reorder:
+        slot_iota8 = jnp.arange(ARITY, dtype=I32)[None]
+        ref = flags[:, None] & is_leaf
+        entry_key = ids[:, None] * ARITY + slot_iota8
+        key = jnp.full((nl_pool,), -1, I32).at[
+            jnp.where(ref, leaf_of, nl_pool)].set(entry_key, mode="drop")
+        key = jnp.where(key >= 0, key,
+                        jnp.int32(1 << 28) + jnp.arange(nl_pool,
+                                                        dtype=I32))
+        old_of_new = jnp.argsort(key).astype(I32)
+        new_pos = jnp.zeros((nl_pool,), I32).at[old_of_new].set(
+            jnp.arange(nl_pool, dtype=I32))
 
     # Per-entry boxes: internal -> binary node's own box, leaf -> leaf
     # AABB, empty -> point at infinity (never hit: entry t 3e38).
@@ -152,7 +194,10 @@ def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
     # Per-entry meta + per-node base (see module docstring).
     rank = jnp.cumsum(is_int.astype(I32), axis=1) - is_int.astype(I32)
     if leaf_vals is None:
-        tri_start = leaf_of * leaf_size
+        if reorder:
+            tri_start = new_pos[leaf_of] * leaf_size
+        else:
+            tri_start = leaf_of * leaf_size
     else:
         tri_start = leaf_vals[leaf_of]
     meta = jnp.where(is_int, -(rank + 1),
@@ -160,6 +205,14 @@ def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
     child_ids = jnp.where(is_int, ids[safe_int], jnp.int32(2 ** 30))
     base = jnp.min(child_ids, axis=1)
     base = jnp.where(base == 2 ** 30, 0, base)
+    # Per-node leaf_base (<< 8, the kernel's packed-crossing layout):
+    # slot 0 holds the first leaf child when the node has any (slots
+    # are leaf-first); leafless nodes store 0 (never read — the kernel
+    # only crosses it when the visit's leaf mask is non-empty).
+    if reorder:
+        lbase = jnp.where(is_leaf[:, 0], tri_start[:, 0], 0) * 256
+    else:
+        lbase = jnp.zeros((cuts.shape[0],), I32)
 
     # Scatter flagged nodes into wide-id order.
     dst = jnp.where(flags, ids, nw_pad)
@@ -170,6 +223,7 @@ def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
     vmeta = jnp.zeros((nw_pad, ARITY), I32).at[dst].set(meta,
                                                         mode="drop")
     vbase = jnp.zeros((nw_pad,), I32).at[dst].set(base, mode="drop")
+    vlb = jnp.zeros((nw_pad,), I32).at[dst].set(lbase, mode="drop")
 
     # Assemble (R, 8, 128): V[n, slot, c] -> records[n//16, slot,
     # 8*(n%16) + c].  The records array is I32 end-to-end: negative
@@ -178,32 +232,44 @@ def _assemble(tree: BVH, leaf_min, leaf_max, leaf_size: int,
     # every meta into 0x7FC00000); i32 ops never touch the bits.  The
     # kernel bitcasts the box lanes back to f32 after its roll.
     bits = lambda f: jax.lax.bitcast_convert_type(f, I32)
-    base_col = jnp.where(
-        jnp.arange(ARITY, dtype=I32)[None] == 0,
-        vbase[:, None], 0)                              # (nw, 8)
+    slot8 = jnp.arange(ARITY, dtype=I32)[None]
+    base_col = jnp.where(slot8 == 0, vbase[:, None],
+                         jnp.where(slot8 == 1, vlb[:, None], 0))
     v = jnp.concatenate(
         [bits(vmin), bits(vmax),
          vmeta[..., None], base_col[..., None]], axis=2)
     r = nw_pad // NODES_PER_ROW
     records = v.reshape(r, NODES_PER_ROW, ARITY, ARITY)
     records = records.transpose(0, 2, 1, 3).reshape(r, ARITY, 128)
-    return records, flags
+    return records, flags, old_of_new
 
 
-def build_wide8(tree: BVH, leaf_min, leaf_max, leaf_size: int):
+def build_wide8(tree: BVH, leaf_min, leaf_max, leaf_size: int,
+                reorder: bool = False):
     """Collapse the binary tree into sublane-record BVH8 form.
 
     Host-eager: the wide node count is data-dependent (records must be
     shape-compact to stay VMEM-resident), so one device->host sync
     computes it before the jitted assemble.  Returns the (R, 8, 128)
-    records array, or None when the tree exceeds the id-packing bound
-    (the traversal falls back to the binary packet kernel)."""
+    records array — with reorder=True, (records, old_of_new) where
+    old_of_new is the leaf-pool permutation the caller must apply
+    (see _assemble) — or None when the tree exceeds the id-packing
+    bound (the traversal falls back to the binary packet kernel)."""
+    leaf_min = jnp.asarray(leaf_min)
+    nl_pool = leaf_min.shape[0]
+    if reorder and nl_pool * leaf_size * 256 >= 2 ** 31:
+        # leaf_base << 8 would overflow the packed crossing; such pools
+        # (> 8.3M tris) exceed MAX_WIDE_NODES anyway in practice.
+        reorder = False
     nw = int(_count_wide(tree.child_l, tree.child_r))
     if nw >= MAX_WIDE_NODES:
         return None
     nw_pad = ((nw + NODES_PER_ROW - 1) // NODES_PER_ROW) * NODES_PER_ROW
-    records, _ = _assemble(tree, jnp.asarray(leaf_min),
-                           jnp.asarray(leaf_max), leaf_size, nw_pad)
+    records, _, old_of_new = _assemble(
+        tree, leaf_min, jnp.asarray(leaf_max), leaf_size, nw_pad,
+        reorder=reorder)
+    if reorder:
+        return records, old_of_new
     return records
 
 
@@ -215,16 +281,19 @@ def build_wide8(tree: BVH, leaf_min, leaf_max, leaf_size: int):
 def globalize(records, tri_base: int, id_base):
     """Shift a region's leaf metas by `tri_base` and its first-internal-
     child bases by `id_base` (records are (R, 8, 128) i32; meta lives at
-    lane c%8==6 on all sublanes, base at c%8==7 sublane 0).  Bases of
-    childless nodes (0) shift harmlessly: the packed crossing discards
-    the base when the internal-hit mask is empty."""
+    lane c%8==6 on all sublanes, base at c%8==7 sublane 0, leaf_base<<8
+    at c%8==7 sublane 1).  Bases of childless nodes (0) shift
+    harmlessly: the packed crossings discard the base when the matching
+    hit mask is empty."""
     lane = jnp.arange(128, dtype=I32) % ARITY
+    sub = jnp.arange(ARITY, dtype=I32)[None, :, None]
     meta_lane = (lane == 6)[None, None, :]
-    base_lane = ((lane == 7)[None, None, :]
-                 & (jnp.arange(ARITY, dtype=I32)[None, :, None] == 0))
+    base_lane = (lane == 7)[None, None, :] & (sub == 0)
+    lb_lane = (lane == 7)[None, None, :] & (sub == 1)
     out = jnp.where(meta_lane & (records > 0), records + tri_base,
                     records)
-    return jnp.where(base_lane, out + id_base, out)
+    out = jnp.where(base_lane, out + id_base, out)
+    return jnp.where(lb_lane, out + tri_base * 256, out)
 
 
 def tlas_nw_pad(num_instances: int) -> int:
@@ -265,6 +334,6 @@ def build_wide8_tlas(inst_bmin, inst_bmax, nw_pad: int):
                bmin_r=boxes[2], bmax_r=boxes[3],
                tri_v0=dummy, tri_e1=dummy, tri_e2=dummy,
                tri_perm=jnp.zeros((1,), I32))
-    records, _ = _assemble(tree, lmin, lmax, 1, nw_pad,
-                           leaf_vals=jnp.minimum(order, i_real - 1))
+    records, _, _ = _assemble(tree, lmin, lmax, 1, nw_pad,
+                              leaf_vals=jnp.minimum(order, i_real - 1))
     return records

@@ -76,7 +76,8 @@ def run_one(probe: str) -> None:
         def call():
             return trace_tiles_wide8(*comps, w8, tris, nw=nw,
                                      leaf_size=leaf, t_min=1e-3,
-                                     find_closest=fc)
+                                     find_closest=fc,
+                                     leaf_base=accel.w8_lb)
 
         jax.block_until_ready(call())
         try:

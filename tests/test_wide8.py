@@ -101,6 +101,54 @@ def test_wide8_interval_mode_matches(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_wide8_leaf_base_layout():
+    """Reorder-built records (the default): leaf children are leaf-
+    first in slot order and their tri_starts are exactly
+    leaf_base + j*K, with leaf_base<<8 in sublane 1 of lane 7."""
+    _, accel, _, _, _ = _wide8_accel(0)
+    assert accel.w8_lb
+    rec = np.asarray(accel.w8)
+    R = rec.shape[0]
+    v = (rec.reshape(R, 8, 16, 8).transpose(0, 2, 1, 3)
+         .reshape(R * 16, 8, 8))
+    meta = v[:, :, 6]
+    lb = v[:, 1, 7] // 256
+    K = accel.leaf_size
+    for n in range(R * 16):
+        leaf_slots = [j for j in range(8) if meta[n, j] > 0]
+        if not leaf_slots:
+            continue
+        assert leaf_slots == list(range(len(leaf_slots)))
+        for j in leaf_slots:
+            assert meta[n, j] - 1 == lb[n] + j * K
+    # A node's internal children come after its leaves, empties last.
+    for n in range(R * 16):
+        cls = [0 if meta[n, j] > 0 else (1 if meta[n, j] < 0 else 2)
+               for j in range(8)]
+        assert cls == sorted(cls)
+
+
+def test_wide8_leaf_base_off_matches(monkeypatch):
+    """HRT_W8_LB=0 (per-child crossings) on reorder-built records must
+    produce identical hits to leaf-base mode — regression for the
+    decision-crossing base corruption (sublane 1 carries leaf_base<<8
+    and must never leak into base)."""
+    monkeypatch.setenv("HRT_WIDE8_CPU", "1")
+    monkeypatch.setattr(tp, "WIDE8", True)
+    data, accel, _, _, _ = _wide8_accel(4)
+    assert accel.w8_lb
+    o, d = random_rays(4, n=256)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    monkeypatch.setenv("HRT_W8_LB", "1")
+    t_on, tri_on = tp.closest_hit(data, accel, oj, dj, 1e-3, 1e32)[:2]
+    monkeypatch.setenv("HRT_W8_LB", "0")
+    t_off, tri_off = tp.closest_hit(data, accel, oj, dj, 1e-3, 1e32)[:2]
+    np.testing.assert_array_equal(np.asarray(tri_on),
+                                  np.asarray(tri_off))
+    np.testing.assert_allclose(np.asarray(t_on), np.asarray(t_off),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_wide8_skipped_for_huge_trees(monkeypatch):
     """Trees past the id-packing bound must not get a w8 table."""
     monkeypatch.setattr(wide8, "MAX_WIDE_NODES", 4)
