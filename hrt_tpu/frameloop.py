@@ -37,7 +37,8 @@ def _wants_gbuffer(config: RenderConfig, up_history) -> bool:
 
 
 def _post_stages(img, gbuffer, prev_cams, dn_state, accum, frame,
-                 config: RenderConfig, net, up_params, up_history):
+                 config: RenderConfig, net, up_params, up_history,
+                 pallas_warp: bool = True):
     """accumulate -> denoise -> upscale, shared by the single-chip and
     tile-sharded frame programs (parallel/tiles.frame_program_tiled
     runs this on row-sharded arrays and lets XLA's sharding propagation
@@ -54,7 +55,7 @@ def _post_stages(img, gbuffer, prev_cams, dn_state, accum, frame,
 
     if config.denoise:
         img, dn_state = denoise.svgf(dn_state, img, gbuffer, prev_cams,
-                                     w, h)
+                                     w, h, pallas_warp=pallas_warp)
 
     if config.upscale == 2 and net is not None and up_params is not None:
         from .models import upscaler
@@ -62,7 +63,7 @@ def _post_stages(img, gbuffer, prev_cams, dn_state, accum, frame,
         if temporal_up:
             hist = upscaler.reproject_history(
                 up_history, gbuffer["world_pos"], gbuffer["hit"],
-                prev_cams, w, h)
+                prev_cams, w, h, pallas_warp=pallas_warp)
             # Frame 0 (and right after reset()): up_history is all-zero
             # and prev_cams == cams, so reprojection would mark hit
             # pixels "valid" and blend toward black — out of

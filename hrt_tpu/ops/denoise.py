@@ -120,9 +120,18 @@ def _bilinear(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
 
 def temporal_accumulate(state: DenoiseState, color, gbuffer, prev_cam,
                         width: int, height: int,
-                        alpha: float = 0.2, alpha_moments: float = 0.2):
+                        alpha: float = 0.2, alpha_moments: float = 0.2,
+                        pallas_warp: bool = True):
     """Reproject + clamp + accumulate.  Returns (illum, variance,
-    new_state-without-spatial-filter-color)."""
+    new_state-without-spatial-filter-color).
+
+    pallas_warp: allow the bounded-motion Pallas warp
+    (ops/warp_pallas, TPU only) for the history fetch — 4.5x faster
+    than the gather path; out-of-margin pixels (strong parallax at
+    silhouettes) come back invalid, which this function already treats
+    as a disocclusion.  Pass False under GSPMD sharding
+    (parallel/tiles runs the post stages on row-sharded globals, where
+    a pallas_call cannot be partitioned)."""
     normal = gbuffer["normal"]
     depth = gbuffer["depth"][..., None]
     world_pos = gbuffer["world_pos"]
@@ -138,7 +147,13 @@ def temporal_accumulate(state: DenoiseState, color, gbuffer, prev_cam,
     packed = jnp.concatenate([state.color, state.moments,
                               state.history, state.depth,
                               state.normal], axis=-1)
-    hist_all, inb = _bilinear(packed, px, py)
+    from .warp_pallas import enabled as _pallas_warp_enabled
+    if pallas_warp and _pallas_warp_enabled():
+        from .warp_pallas import warp_bilinear
+
+        hist_all, inb = warp_bilinear(packed, px, py)
+    else:
+        hist_all, inb = _bilinear(packed, px, py)
     hist_color = hist_all[..., 0:3]
     hist_moments = hist_all[..., 3:5]
     hist_len = hist_all[..., 5:6]
@@ -243,14 +258,15 @@ def atrous_filter(illum, variance, gbuffer, levels: int = 5,
 
 
 def svgf(state: DenoiseState, color, gbuffer, prev_cam, width: int,
-         height: int, levels: int = 5):
+         height: int, levels: int = 5, pallas_warp: bool = True):
     """Full SVGF step.  Returns (denoised (H,W,3), new state).
 
     The new state's color history is the level-1 filtered illumination
     (standard SVGF feedback choice: stabler than raw, sharper than the
     fully filtered output)."""
     illum, variance, st = temporal_accumulate(state, color, gbuffer,
-                                              prev_cam, width, height)
+                                              prev_cam, width, height,
+                                              pallas_warp=pallas_warp)
     if levels == 0:
         return illum, st
     # One feedback level:

@@ -82,8 +82,13 @@ def frame_program_tiled(scene, accel, cams: CameraArrays,
     out = render_frame_tiled(scene, accel, cams, frame, config, mesh,
                              want_gbuffer=want_gb)
     img, gbuffer = out if want_gb else (out, None)
+    # pallas_warp=False: the post stages run on row-sharded globals
+    # under GSPMD, where a pallas_call cannot be partitioned — the XLA
+    # gather warp shards fine (its halo is a compiler-inserted
+    # collective).
     return _post_stages(img, gbuffer, prev_cams, dn_state, accum,
-                        frame, config, net, up_params, up_history)
+                        frame, config, net, up_params, up_history,
+                        pallas_warp=False)
 
 
 def frame_stats_psum(img_shard: jnp.ndarray, axis_name: str = "tiles"):

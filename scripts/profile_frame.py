@@ -33,16 +33,35 @@ def capture(frames: int, trace_dir: str) -> None:
 
     import dataclasses
     which = os.environ.get("HRT_PROFILE_CFG", "bench")
+    if which == "4k":
+        # The animated_4k_upscaled BENCH_FULL config, through FrameLoop
+        # (denoise + temporal upscale are the interesting stages here).
+        from hrt_tpu.frameloop import FrameLoop
+
+        cfg = RenderConfig(width=1920, height=1080, max_depth=3,
+                           sky=True, indirect=True, jitter=True,
+                           denoise=True, sort_bounces=True, upscale=2,
+                           traversal="pallas")
+        loop = FrameLoop(build_bench_scene(), cfg, cull_threshold_px=0.0)
+        cam = Camera(position=(0.0, -1.0, -6.0), rotation=(-0.15, 0, 0))
+        jax.block_until_ready(loop.step(cam))
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(frames):
+            img = loop.step(cam)
+        jax.block_until_ready(img)
+        jax.profiler.stop_trace()
+        return
     if which == "path1080":
         cfg = RenderConfig(width=1920, height=1080, max_depth=5,
                            sky=True, indirect=True, jitter=True,
-                           accumulate=True, traversal="pallas")
-    if os.environ.get("HRT_PROFILE_SORT"):
-        cfg = dataclasses.replace(
-            cfg, sort_bounces=bool(int(os.environ["HRT_PROFILE_SORT"])))
+                           accumulate=True, sort_bounces=True,
+                           traversal="pallas")
     else:
         cfg = RenderConfig(width=512, height=384, max_depth=1, sky=True,
                            traversal="auto")
+    if os.environ.get("HRT_PROFILE_SORT"):
+        cfg = dataclasses.replace(
+            cfg, sort_bounces=bool(int(os.environ["HRT_PROFILE_SORT"])))
     if os.environ.get("HRT_PROFILE_SFL") == "0":
         cfg = dataclasses.replace(cfg, shadow_from_light=False)
     elif os.environ.get("HRT_PROFILE_SFL") == "1":
