@@ -115,7 +115,9 @@ def main(argv=None) -> None:
         from .models import upscaler as up_mod
         from .utils.checkpoint import load_params
 
-        _, fresh, _ = up_mod.create()
+        make = (up_mod.create_temporal if cfg.upscale_mode == "temporal"
+                else up_mod.create)
+        _, fresh, _ = make()
         up_params = load_params(args.upscaler_ckpt, fresh.params)
     mesh = None
     if args.devices > 1:

@@ -111,8 +111,9 @@ def self_supervised_batch(frames: jnp.ndarray, key, crop: int = 64,
 
 
 def upscale(net: UpscalerNet, params, img: jnp.ndarray) -> jnp.ndarray:
-    """Apply the upscaler to one (H, W, 3) frame."""
-    return net.apply(params, img[None])[0]
+    """Apply the upscaler to one (H, W, 3) frame (fused-head fast
+    inference path; equivalent to net.apply — test_upscaler checks)."""
+    return _forward_spatial(params, img, net.depth, _infer_dtype())
 
 
 # ---------------------------------------------------------------------------
@@ -262,5 +263,154 @@ def reproject_history(hist: jnp.ndarray, world_pos, hit_mask, prev_cam,
 def upscale_temporal(net, params, img: jnp.ndarray,
                      hist: jnp.ndarray) -> jnp.ndarray:
     """Apply the temporal upscaler to one (H, W, 3) frame with a
-    reprojected (2H, 2W, 4) rgb+validity history."""
-    return net.apply(params, img[None], hist[None])[0]
+    reprojected (2H, 2W, 4) rgb+validity history (fused-head fast
+    inference path; equivalent to net.apply — test_upscaler checks)."""
+    return _forward_temporal(params, img, hist, net.depth,
+                             _infer_dtype())
+
+
+# ---------------------------------------------------------------------------
+# Fast inference forward.
+#
+# The flax modules above are the trainable definition; inference in the
+# frame program uses this algebraically-equivalent re-expression that
+# avoids every layout-changing op XLA materializes as a copy:
+#
+#  * The pixel-shuffle head's reshape -> swapaxes -> reshape (a 5-d
+#    transpose XLA materializes as 25 ms of copies at 4K) becomes a
+#    kernel-side channel permutation (each output parity's channels
+#    made contiguous) + the two-stage stack/reshape interleave of
+#    _upsample2_corner — minor-axis interleaves XLA emits as cheap
+#    fusions (~1.6 ms per 4K plane).  (An lhs-dilated 6x6 conv is
+#    algebraically the same fold but lowers to an 82 ms T(1,128)
+#    monster on TPU — measured, do not go back.)
+#  * space_to_depth2(hist) + first 3x3 conv over the packed channels is
+#    a 6x6 stride-2 convolution on the raw HR history (same index fold).
+#  * The trunk optionally runs in bf16 with f32 accumulation
+#    (HRT_UP_BF16=0 forces f32): convs are MXU work, bf16 halves the
+#    multiply passes; the residual-over-bilinear output keeps f32.
+#
+# The per-(r,s) head bias becomes a (2,2,n)-periodic plane added after.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+import numpy as _np
+
+
+def _infer_dtype():
+    return (jnp.bfloat16 if _os.environ.get("HRT_UP_BF16", "1") == "1"
+            else jnp.float32)
+
+
+def _conv(x, k, dtype, stride=(1, 1), padding="SAME", lhs_dilation=None):
+    """NHWC conv of one (H, W, C) image; f32 accumulate/output."""
+    y = jax.lax.conv_general_dilated(
+        x[None].astype(dtype), k.astype(dtype), window_strides=stride,
+        padding=padding, lhs_dilation=lhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y[0]
+
+
+def _head_perm(n_res: int, alpha: bool):
+    """Channel permutation making each output parity (r, s) contiguous:
+    new channel 4*(r*2+s)+n <- module channel m(r,s,n).  Module packing
+    (the reshape to (h, w, 2, 2, n)): m = (r*2+s)*n_res + n, alpha at
+    4*n_res + (r*2+s)."""
+    perm = []
+    for k in range(4):
+        perm += [k * n_res + n for n in range(n_res)]
+        if alpha:
+            perm.append(4 * n_res + k)
+    return _np.asarray(perm, _np.int32)
+
+
+def _interleave2(parts, h: int, w: int):
+    """parts[(r, s)] of (h, w, c) -> (2h, 2w, c) with
+    out[2i+r, 2j+s] = parts[(r, s)][i, j] — two stack/reshape
+    minor-axis interleaves (cheap fusions; a 5-d transpose is not)."""
+    c = parts[(0, 0)].shape[-1]
+    wide = [jnp.stack([parts[(r, 0)], parts[(r, 1)]],
+                      axis=2).reshape(h, 2 * w, c) for r in (0, 1)]
+    return jnp.stack(wide, axis=1).reshape(2 * h, 2 * w, c)
+
+
+def _head_hr(x, kernel, bias, n_res: int, alpha: bool, dtype):
+    """Apply the shuffle head: (h, w, F) -> (2h, 2w, n_out)."""
+    n_out = n_res + (1 if alpha else 0)
+    perm = _head_perm(n_res, alpha)
+    head = _conv(x, kernel[..., perm], dtype) + bias[perm]
+    h, w = x.shape[0], x.shape[1]
+    parts = {(r, s): head[..., (r * 2 + s) * n_out:
+                          (r * 2 + s + 1) * n_out]
+             for r in (0, 1) for s in (0, 1)}
+    return _interleave2(parts, h, w)
+
+
+@functools.lru_cache(maxsize=None)
+def _first_index_tables(c_hist: int):
+    pos = _np.zeros((6, 6), _np.int32)
+    CH = _np.zeros((6, 6, c_hist), _np.int32)
+    for u in range(6):
+        di, r = u // 2, u % 2
+        for v in range(6):
+            dj, s = v // 2, v % 2
+            pos[u, v] = di * 3 + dj
+            for c in range(c_hist):
+                CH[u, v, c] = (r * 2 + s) * c_hist + c
+    return pos, CH
+
+
+def _fold_first(kernel, c_lr: int, c_hist: int):
+    """Split the first trunk kernel (3,3,c_lr+4*c_hist,F) into the LR
+    part (3,3,c_lr,F) and a 6x6 stride-2 kernel over the raw HR history
+    (undoing space_to_depth2: HR tap (2(i+di-1)+r, 2(j+dj-1)+s) sits at
+    kernel position (2*di+r, 2*dj+s) with padding (2,2))."""
+    pos, CH = _first_index_tables(c_hist)
+    k_lr = kernel[:, :, :c_lr, :]
+    f = kernel.shape[3]
+    kh9 = kernel[:, :, c_lr:, :].reshape(9, 4 * c_hist, f)
+    k_h6 = jnp.take_along_axis(kh9[pos], jnp.asarray(CH)[:, :, :, None],
+                               axis=2)                 # (6,6,c_hist,F)
+    return k_lr, k_h6
+
+
+def _upsample_bilinear2(img):
+    h, w = img.shape[0], img.shape[1]
+    return jax.image.resize(img, (2 * h, 2 * w, img.shape[2]),
+                            method="bilinear")
+
+
+def _forward_spatial(params, img, depth: int, dtype):
+    """== UpscalerNet.__call__ on one (H, W, 3) frame."""
+    p = params["params"]
+    up = _upsample_bilinear2(img)
+    x = img
+    for i in range(depth):
+        x = nn.relu(_conv(x, p[f"Conv_{i}"]["kernel"], dtype)
+                    + p[f"Conv_{i}"]["bias"])
+    head = p[f"Conv_{depth}"]
+    res = _head_hr(x, head["kernel"], head["bias"], 3, False, dtype)
+    return up + res
+
+
+def _forward_temporal(params, lr, hist, depth: int, dtype):
+    """== TemporalUpscalerNet.__call__ on one (H, W, 3) frame with its
+    (2H, 2W, 4) rgb+validity history."""
+    p = params["params"]
+    up = _upsample_bilinear2(lr)
+    k_lr, k_h6 = _fold_first(p["Conv_0"]["kernel"], lr.shape[-1], 4)
+    x = nn.relu(_conv(lr, k_lr, dtype)
+                + _conv(hist, k_h6, dtype, stride=(2, 2),
+                        padding=((2, 2), (2, 2)))
+                + p["Conv_0"]["bias"])
+    for i in range(1, depth):
+        x = nn.relu(_conv(x, p[f"Conv_{i}"]["kernel"], dtype)
+                    + p[f"Conv_{i}"]["bias"])
+    head = p[f"Conv_{depth}"]
+    o = _head_hr(x, head["kernel"], head["bias"], 3, True, dtype)
+    residual, alpha = o[..., :3], nn.sigmoid(o[..., 3:4])
+    spatial = up + residual
+    hist_rgb, valid = hist[..., :3], hist[..., 3:4]
+    return spatial + alpha * valid * (hist_rgb - spatial)

@@ -130,3 +130,48 @@ def test_frameloop_temporal_upscale_smoke():
     assert float(np.abs(np.asarray(loop.up_history)).max()) > 0.0
     img1 = np.asarray(loop.step(cam))
     assert np.isfinite(img1).all()
+
+
+def test_fast_forward_spatial_matches_module():
+    """The fused-head inference path (_forward_spatial) must equal
+    UpscalerNet.__call__ — the head fold is an exact re-indexing."""
+    net, state, _ = upscaler.create(features=8, depth=2)
+    rs = np.random.RandomState(7)
+    # Non-trivial params (init head is near-zero; randomize everything)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rs.normal(0, 0.5, p.shape)
+                              .astype(np.float32)), state.params)
+    img = jnp.asarray(rs.uniform(0, 2, (24, 40, 3)).astype(np.float32))
+    ref = net.apply(params, img[None])[0]
+    out = upscaler._forward_spatial(params, img, net.depth, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # bf16 trunk: same math at reduced precision
+    out16 = upscaler._forward_spatial(params, img, net.depth,
+                                      jnp.bfloat16)
+    rel = float(jnp.abs(out16 - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.02, rel
+
+
+def test_fast_forward_temporal_matches_module():
+    """_forward_temporal (folded s2d first layer + fused head) must
+    equal TemporalUpscalerNet.__call__."""
+    net, state, _ = upscaler.create_temporal(features=8, depth=2)
+    rs = np.random.RandomState(8)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rs.normal(0, 0.5, p.shape)
+                              .astype(np.float32)), state.params)
+    lr = jnp.asarray(rs.uniform(0, 2, (24, 40, 3)).astype(np.float32))
+    hist = jnp.asarray(rs.uniform(0, 1, (48, 80, 4)).astype(np.float32))
+    ref = net.apply(params, lr[None], hist[None])[0]
+    out = upscaler._forward_temporal(params, lr, hist, net.depth,
+                                     jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    out16 = upscaler._forward_temporal(params, lr, hist, net.depth,
+                                       jnp.bfloat16)
+    # Random N(0, .5) params drive the blend logits into sigmoid's
+    # steep region, amplifying bf16 trunk noise ~7x vs the spatial net;
+    # trained weights are far tamer (PSNR-gated in eval_temporal).
+    rel = float(jnp.abs(out16 - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.1, rel
