@@ -65,7 +65,6 @@ def enabled() -> bool:
 
 def _make_kernel(c: int, hs: int, ws: int, th: int, tw: int, m: int,
                  wh: int, ww: int, off: int):
-    span_y = 3 * m + 9        # loop origin rymin <= slack(7) + m
     span_x = 2 * m + 2        # x offsets are roll-normalized to 0
 
     def kernel(meta_ref, px_ref, py_ref, src_ref, out_ref, valid_ref,
@@ -118,22 +117,40 @@ def _make_kernel(c: int, hs: int, ws: int, th: int, tw: int, m: int,
 
         fy32 = fy.astype(jnp.float32)
         fx32 = fx.astype(jnp.float32)
-        for oy in range(span_y):
-            @pl.when((oy >= rymin) & (oy <= ryhi + 1))
-            def _row(oy=oy):
-                wy = jnp.where(ry == oy, 1.0 - fy32,
-                               jnp.where(ry == oy - 1, fy32, 0.0))
-                for ox in range(span_x):
-                    @pl.when(ox <= rxhi - rxmin + 1)
-                    def _col(oy=oy, ox=ox, wy=wy):
-                        wx = jnp.where(rxn == ox, 1.0 - fx32,
-                                       jnp.where(rxn == ox - 1, fx32,
-                                                 0.0))
-                        coeff = wy * wx
-                        for ch in range(c):
-                            out_ref[ch] += (coeff
-                                            * rol_ref[ch, oy:oy + th,
-                                                      ox:ox + tw])
+        # Loop structure matters more than loop WORK here: a skipped
+        # pl.when still costs ~0.3 us of the in-order scalar pipeline,
+        # and the original span_y x span_x static grid of gates (594 at
+        # margin 8) was 80-90% of the kernel's device time (measured:
+        # 24.4 -> 3.7 ms/warp at 1080p C=10 going margin 8 -> 2, with
+        # IDENTICAL executed tap counts).  So: static gates only over
+        # the x offsets (lane slices must be static), and a DYNAMIC
+        # fori_loop over the actual row range — while-loop iterations
+        # are ~2-24 ns (ROADMAP round-2 probes) vs 0.3 us per branch,
+        # and rows outside [rymin, ryhi+1] never touch the scalar core.
+        for ox in range(span_x):
+            @pl.when(ox <= rxhi - rxmin + 1)
+            def _col(ox=ox):
+                wx = jnp.where(rxn == ox, 1.0 - fx32,
+                               jnp.where(rxn == ox - 1, fx32, 0.0))
+
+                def row_body(oy, _):
+                    wy = jnp.where(ry == oy, 1.0 - fy32,
+                                   jnp.where(ry == oy - 1, fy32, 0.0))
+                    coeff = wy * wx
+                    # Dynamic sublane starts must be 8-aligned: load
+                    # the aligned (th+8)-row block and rotate the
+                    # residual into place (one sublane roll — window
+                    # rows reserve base slack + 8 for this, see wh).
+                    base8 = pl.multiple_of((oy // 8) * 8, 8)
+                    sh = oy - base8
+                    for ch in range(c):
+                        blk = rol_ref[ch, pl.ds(base8, th + 8),
+                                      ox:ox + tw]
+                        blk = pltpu.roll(blk, th + 8 - sh, axis=0)
+                        out_ref[ch] += coeff * blk[0:th, :]
+                    return 0
+
+                jax.lax.fori_loop(rymin, ryhi + 2, row_body, 0)
 
         # Invalid pixels (edge-clamped coords can still pick up taps)
         # come back exactly 0.
