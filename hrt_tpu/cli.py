@@ -90,6 +90,12 @@ def main(argv=None) -> None:
                     help="render row-band-sharded over the first N "
                          "devices (full pipeline incl. denoise/upscale "
                          "under one multi-chip program)")
+    ap.add_argument("--preview", action="store_true",
+                    help="serve a live interactive viewer (WASD/arrow "
+                         "camera, ref: Graphics/Camera.cpp:26-61) "
+                         "instead of writing files")
+    ap.add_argument("--port", type=int, default=8000,
+                    help="preview server port")
     args = ap.parse_args(argv)
 
     if args.debug_nans:
@@ -140,6 +146,13 @@ def main(argv=None) -> None:
     stats = FrameStats()
     cam = Camera(position=tuple(args.camera[:3]),
                  rotation=tuple(args.camera[3:]))
+    if args.preview:
+        from .preview import run_preview
+
+        run_preview(loop, cam, port=args.port, gamma=args.gamma,
+                    max_frames=(args.frames if args.frames > 1
+                                else None))
+        return
     img = None
     for f in range(args.frames):
         if args.orbit:
@@ -147,6 +160,10 @@ def main(argv=None) -> None:
         t0 = time.perf_counter()
         img = jax.block_until_ready(loop.step(cam))
         dt = time.perf_counter() - t0
+        if os.environ.get("HRT_KERNEL_GUARDS") == "1":
+            from .ops.traversal_wide8 import check_pending_guards
+
+            check_pending_guards()
         import bench as bench_mod
 
         stats.add(bench_mod.rays_per_frame(cfg, scene.lights.shape[0]), dt)

@@ -53,7 +53,8 @@ PROBE8 = _os.environ.get("HRT_W8_PROBE", "")
 
 def _make_kernel(nw: int, leaf_size: int, t_min: float,
                  find_closest: bool, tris_in_vmem: bool = True,
-                 exact: bool = False, leaf_base: bool = False):
+                 exact: bool = False, leaf_base: bool = False,
+                 guards: bool = False, n_tri_lanes: int = 0):
     """exact=False: conservative per-group interval node tests (fast
     for coherent bundles — primary/bounce blocks).  exact=True: per-RAY
     slab tests of all 8 children against every ray row (the box is
@@ -73,9 +74,28 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
         if DEBUG_COUNTERS:
             cnt_ref, *rest = rest
         rest = list(rest)
+        guard_ref = rest.pop(0) if guards else None
         scratch = [rest.pop(0), rest.pop(0)] if not tris_in_vmem else []
         tlim_ref, done_ref, stack_ref = rest
         tmin = jnp.float32(t_min)
+        if guards:
+            # Debug-mode validators (HRT_KERNEL_GUARDS=1): clamp every
+            # dynamic index into range and record a violation bitmask
+            # per tile, so a corrupted record table (e.g. the round-3
+            # reorder base-masking bug, ROADMAP) surfaces as a host-
+            # checkable flag instead of a TPU device fault.
+            guard_ref[0] = jnp.int32(0)
+
+            def _guard(val, lo, hi, bit):
+                bad = (val < lo) | (val > hi)
+
+                @pl.when(bad)
+                def _():
+                    guard_ref[0] = guard_ref[0] | bit
+
+                return jnp.clip(val, lo, hi)
+        else:
+            _guard = lambda val, lo, hi, bit: val
 
         ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
         dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
@@ -223,7 +243,8 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
                 stack_ref[sp] = (b << 8) | rem
 
             sp = sp + (rem != 0).astype(I32)
-            cur = b + r
+            sp = _guard(sp, 0, STACK - 2, 2)      # room for 2 pushes
+            cur = _guard(b + r, 0, nw - 1, 1)
 
             # ONE row fetch + ONE roll exposes the whole node.  The
             # records are i32 (wide8.py: f32 movement canonicalizes NaN
@@ -280,6 +301,7 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
                     tlim_ref[0:1, ng:ng + 1] = jnp.full(
                         (1, 1), (start + gm).astype(jnp.float32))
                     return
+                start = _guard(start, 0, n_tri_lanes - leaf_size, 4)
                 lane0 = start % TILE_LANES
                 if tris_in_vmem:
                     lrec = _leaf_fetch(tris_ref, start)
@@ -479,20 +501,72 @@ def trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
     exact = {"all": True, "off": False}.get(mode, not find_closest)
     leaf_base = leaf_base and bool(
         int(_os.environ.get("HRT_W8_LB", "0")))
-    return _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records,
-                              flat_tris, nw=nw, leaf_size=leaf_size,
-                              t_min=t_min, find_closest=find_closest,
-                              exact=exact, leaf_base=leaf_base)
+    guards = bool(int(_os.environ.get("HRT_KERNEL_GUARDS", "0")))
+    out = _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records,
+                             flat_tris, nw=nw, leaf_size=leaf_size,
+                             t_min=t_min, find_closest=find_closest,
+                             exact=exact, leaf_base=leaf_base,
+                             guards=guards)
+    if guards:
+        from jax.experimental import io_callback
+
+        out, viol = out[:-1], out[-1]
+        # The callback only RECORDS violations (module-global list);
+        # raising from inside a callback surfaces nondeterministically
+        # (the error rides whatever buffer/token the runtime pins it
+        # to — ordered mode even poisons the process-global token so
+        # later errors slip one computation late).  Callers raise via
+        # check_pending_guards() after a block_until_ready — any op
+        # inside the computation is guaranteed done by then.
+        io_callback(_record_guards, jax.ShapeDtypeStruct((), jnp.int32),
+                    viol, ordered=False)
+    return out
+
+
+_pending_violations: list = []
+
+
+def _record_guards(viol):
+    import numpy as np
+
+    v = np.asarray(viol)
+    if v.any():
+        _pending_violations.append(v.copy())
+    return np.int32(0)
+
+
+def check_pending_guards():
+    """Raise if any HRT_KERNEL_GUARDS=1 kernel launch recorded index
+    violations since the last check.  Call after jax.block_until_ready
+    on the launch's outputs.  Bit 1: wide-node id out of range; bit 2:
+    traversal stack overflow; bit 4: leaf tri_start out of the
+    triangle pool."""
+    import numpy as np
+
+    if not _pending_violations:
+        return
+    vs = _pending_violations[:]
+    _pending_violations.clear()
+    bits = int(np.bitwise_or.reduce(
+        np.concatenate([v.ravel() for v in vs])))
+    tiles = sorted({int(t) for v in vs for t in np.nonzero(v)[0]})
+    raise RuntimeError(
+        f"wide8 kernel guard violation (mask {bits:#x}: "
+        f"{'node-id ' if bits & 1 else ''}"
+        f"{'stack-overflow ' if bits & 2 else ''}"
+        f"{'leaf-start ' if bits & 4 else ''}) in tiles {tiles[:8]}"
+        " — corrupted records or kernel bug; the indices were "
+        "clamped, results are unreliable")
 
 
 @functools.partial(jax.jit,
                    static_argnames=("nw", "leaf_size", "t_min",
                                     "find_closest", "exact",
-                                    "leaf_base"))
+                                    "leaf_base", "guards"))
 def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
                        nw: int, leaf_size: int, t_min: float,
                        find_closest: bool, exact: bool,
-                       leaf_base: bool = False):
+                       leaf_base: bool = False, guards: bool = False):
     rows = ox.shape[0]
     n_tiles = rows // TILE_ROWS
     bnd = group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles)
@@ -500,7 +574,8 @@ def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
 
     kernel = _make_kernel(nw, leaf_size, t_min, find_closest,
                           tris_in_vmem=tris_in_vmem, exact=exact,
-                          leaf_base=leaf_base)
+                          leaf_base=leaf_base, guards=guards,
+                          n_tri_lanes=flat_tris.shape[0] * TILE_LANES)
     ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((1, 32, TILE_LANES), lambda i: (i, 0, 0),
@@ -517,7 +592,6 @@ def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
         pltpu.SMEM((1,), jnp.int32),                # shadow done flag
         pltpu.SMEM((STACK,), jnp.int32),            # traversal stack
     ]
-    n_out = 5 if DEBUG_COUNTERS else 4
     assert records.dtype == jnp.int32, "wide8 records must be i32"
     out_shape = [
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
@@ -525,14 +599,20 @@ def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
     ]
+    out_specs = [ray_spec] * 4
     if DEBUG_COUNTERS:
         out_shape.append(
             jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32))
+        out_specs.append(ray_spec)
+    if guards:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles,), jnp.int32))
+        out_specs.append(pl.BlockSpec((1,), lambda i: (i,),
+                                      memory_space=pltpu.SMEM))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[ray_spec] * 7 + [bnd_spec, vmem_spec, tri_spec],
-        out_specs=[ray_spec] * n_out,
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=(jax.default_backend() == "cpu"),

@@ -154,3 +154,47 @@ def test_wide8_skipped_for_huge_trees(monkeypatch):
     monkeypatch.setattr(wide8, "MAX_WIDE_NODES", 4)
     data, accel, _, _, _ = _wide8_accel(0)
     assert accel.w8 is None
+
+
+@pytest.mark.parametrize("corrupt", ["base", "leaf", "clean"])
+def test_wide8_kernel_guards(corrupt, monkeypatch):
+    """HRT_KERNEL_GUARDS=1: a corrupted record table (the round-3
+    reorder base-masking fault class — an out-of-range node base or
+    leaf tri_start) raises a host-side guard error instead of a TPU
+    device fault; clean records pass untouched."""
+    monkeypatch.setenv("HRT_WIDE8_CPU", "1")
+    monkeypatch.setenv("HRT_KERNEL_GUARDS", "1")
+    monkeypatch.setattr(tp, "WIDE8", True)
+    data, accel, v0, e1, e2 = _wide8_accel(4)
+    rec = np.asarray(accel.w8).copy()
+    if corrupt == "base":
+        # Root node 0: base lane (c=7, sublane 0) -> far out of range.
+        rec[0, 0, 7] = 1 << 14
+    elif corrupt == "leaf":
+        # A LIVE leaf slot's meta -> tri_start beyond the pool.  The
+        # reorder build fills leaf-form metas into ABSENT child slots
+        # too (their boxes are the +big empty sentinel and are never
+        # visited), so pick a slot whose box is real; 1 << 16 decodes
+        # to start 65535 without wrapping the meta<<8 packing.
+        metas = rec[:, :, 6::8]                      # (rows, slot, q)
+        bminx = np.ascontiguousarray(rec[:, :, 0::8]).view(np.float32)
+        live = (metas > 0) & (bminx < 1e30)
+        r_, s_, q_ = [int(a[0]) for a in np.nonzero(live)]
+        rec[r_, s_, q_ * 8 + 6] = 1 << 16
+    accel = accel.replace(w8=jnp.asarray(rec))
+    o, d = random_rays(4, n=256)
+    import jax
+
+    from hrt_tpu.ops import traversal_wide8 as tw
+
+    out = jax.block_until_ready(
+        tp.closest_hit(data, accel, jnp.asarray(o),
+                       jnp.asarray(d), 1e-3, 1e32))
+    if corrupt == "clean":
+        tw.check_pending_guards()       # must NOT raise
+        tri = out[1]
+        ot, oi, _, _ = oracle.closest_hit(o, d, v0, e1, e2)
+        assert ((np.asarray(tri) >= 0) == (oi >= 0)).mean() > 0.99
+    else:
+        with pytest.raises(RuntimeError, match="guard violation"):
+            tw.check_pending_guards()
