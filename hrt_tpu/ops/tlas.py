@@ -616,13 +616,14 @@ def shade_attrs_tlas(tl: TwoLevelFlat, materials, tri_id, inst_id, u, v):
     from ..models.materials import MatP
     from . import v3
 
-    # optimization_barrier pins each transposed gather as ONE
-    # materialized relayout copy; without it XLA lowers every field
-    # slice as a strided squeeze-reduce of the transposed view —
-    # measured 10.7 ms/frame on the 256-instance config (the same
-    # pathology renderer._shade_attrs_p documents).
+    # Each transposed gather materializes as ONE (W, N//128, 128)
+    # relayout whose field slices are contiguous (v3.rows_to_planes);
+    # the unmaterialized 2-D transpose lowered every field slice as a
+    # strided squeeze-reduce — measured 10.7 ms/frame on the
+    # 256-instance config (same pathology renderer._shade_attrs_p
+    # documents).
     rows = tl.attr[jnp.maximum(tri_id, 0)]            # (N, 15)
-    rt = jax.lax.optimization_barrier(rows.T)
+    rt = v3.rows_to_planes(rows)
     w = 1.0 - u - v
     tu = w * rt[9] + u * rt[11] + v * rt[13]
     tv = w * rt[10] + u * rt[12] + v * rt[14]
@@ -631,12 +632,12 @@ def shade_attrs_tlas(tl: TwoLevelFlat, materials, tri_id, inst_id, u, v):
                w * rt[2] + u * rt[5] + v * rt[8])
     si = jnp.maximum(inst_id, 0)
     i_n = tl.normal_mat.shape[0]
-    nm = jax.lax.optimization_barrier(
-        tl.normal_mat.reshape(i_n, 9)[si].T)          # (9, N)
+    nm = v3.rows_to_planes(
+        tl.normal_mat.reshape(i_n, 9)[si])            # 9 (N,) planes
     normal = v3.normalize(V3(
         nm[0] * n_obj.x + nm[1] * n_obj.y + nm[2] * n_obj.z,
         nm[3] * n_obj.x + nm[4] * n_obj.y + nm[5] * n_obj.z,
         nm[6] * n_obj.x + nm[7] * n_obj.y + nm[8] * n_obj.z))
     mrows = materials[tl.inst_mat[si]]                # (N, MAT_W)
-    mt = jax.lax.optimization_barrier(mrows.T)
+    mt = v3.rows_to_planes(mrows)
     return normal, MatP.from_rows_t(mt), mrows, (tu, tv)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-8
@@ -97,6 +98,41 @@ class V3(NamedTuple):
     @property
     def shape(self):
         return jnp.shape(self.x)
+
+
+class PlaneView:
+    """W (N,) field planes from one materialized (W, N//128, 128)
+    relayout of gathered (N, W) rows.
+
+    Materializing the plain 2-D transpose (W, N) still interleaves 8
+    FIELDS per (8, 128) memory tile, so every field slice pays its own
+    ~1.4 ms strided kLoop relayout at 1080p (24 of them: ~34 ms/frame,
+    the slice_reduce_fusion wall in the round-4 profile).  With N split
+    to (N//128, 128) minor dims, the (8, 128) tiling lives entirely
+    inside ONE field's plane and a field slice is contiguous memory —
+    XLA lowers `view[i]` + the flattening reshape as bitcast/views that
+    fuse into consumers ((N,) T(1024) and (N//128, 128) T(8,128) are
+    the same byte layout)."""
+
+    __slots__ = ("rt3",)
+
+    def __init__(self, rt3):
+        self.rt3 = rt3
+
+    def __getitem__(self, i):
+        return self.rt3[i].reshape(-1)
+
+
+def rows_to_planes(rows):
+    """Transpose gathered (N, W) attribute rows into an indexable of W
+    (N,) planes behind ONE materialized relayout copy (see PlaneView).
+    Falls back to the 2-D transposed array when N % 128 != 0 (row
+    slices of it are still correct, just slower)."""
+    n, w = rows.shape
+    if n % 128:
+        return jax.lax.optimization_barrier(rows.T)
+    return PlaneView(jax.lax.optimization_barrier(
+        rows.T.reshape(w, n // 128, 128)))
 
 
 def dot(a: V3, b: V3) -> jnp.ndarray:

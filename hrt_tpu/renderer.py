@@ -216,11 +216,10 @@ def _shade_attrs_p(tab, tri_idx, u, v):
     array-API consumers like the pbr BSDF, (tu, tv) interpolated hit
     UVs for texture sampling)."""
     rows = tab[jnp.maximum(tri_idx, 0)]           # (N, W) single gather
-    # optimization_barrier forces the transpose to MATERIALIZE as one
-    # contiguous relayout copy (~0.07 ms); without it XLA may instead
-    # lower every field slice as a strided squeeze-reduce of the
-    # transposed view — measured ~2.5 ms/frame of pure relayout.
-    rt = jax.lax.optimization_barrier(rows.T)     # (W, N) one relayout
+    # One materialized (W, N//128, 128) relayout; every field is then a
+    # contiguous slice (v3.rows_to_planes — the 2-D transposed form
+    # paid ~1.4 ms PER FIELD at 1080p in slice_reduce relayouts).
+    rt = v3.rows_to_planes(rows)
     w = 1.0 - u - v
     normal = v3.normalize(V3(
         w * rt[0] + u * rt[3] + v * rt[6],
