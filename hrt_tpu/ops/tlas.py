@@ -579,11 +579,13 @@ def _run_planes(tl: TwoLevelFlat, o: V3, d: V3, t_min, t_max,
         from . import traversal_tlas8
 
         i_n = tl.obj_from_world.shape[0]
-        t, tri, inst, u, v = traversal_tlas8._trace_tiles_tlas8(
+        t, tri, inst, u, v, *cnt = traversal_tlas8._trace_tiles_tlas8(
             *comps, tl.w8_nodes, tl.tris,
             tl.obj_from_world.reshape(i_n, 12), tl.w8_root,
             tlas_nw=tl.w8_tlas_nw, leaf_size=tl.leaf_size,
             t_min=float(t_min), find_closest=find_closest)
+        if cnt:  # HRT_DEBUG_COUNTERS=1: stash for tlas8_probe.py
+            traversal_tlas8.LAST_COUNTERS = cnt[0]
     else:
         t, tri, inst, u, v = _trace_tiles_tlas(
             *comps, tl.nodes, tl.tris, tl.inst,

@@ -40,11 +40,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import traversal_pallas as tp
-from .traversal_pallas import (TILE_LANES, TILE_ROWS,
+from .traversal_pallas import (DEBUG_COUNTERS, TILE_LANES, TILE_ROWS,
                                _leaf_fetch, _moller, _tri_vecs)
 
 I32 = jnp.int32
 STACK_BASE = 64
+# Probe decomposition (instancing attack, VERDICT r4 #2): "noenter"
+# skips the per-instance tile re-basing (set_space) so its cost shows
+# as the delta; "noleaf" skips the Moller phase.  Wrong results — perf
+# probes only (scripts/tlas8_probe.py).
+import os as _os
+PROBE_T8 = _os.environ.get("HRT_TLAS8_PROBE", "")
+# Per-tile (enters, visits, leaves, restores) from the last traced
+# batch when HRT_DEBUG_COUNTERS=1 (stashed by tlas._run_planes).
+LAST_COUNTERS = None
 
 
 def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
@@ -57,8 +66,16 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                rec_ref, tris_ref, tf_ref, root_ref,
                t_ref, tri_ref, inst_ref, u_ref, v_ref, *rest):
         rest = list(rest)
+        cnt_ref = rest.pop(0) if DEBUG_COUNTERS else None
         scratch = [rest.pop(0), rest.pop(0)] if not tris_in_vmem else []
         scr_ref, stack_ref = rest
+        if DEBUG_COUNTERS:
+            for c in range(4):
+                cnt_ref[0, c] = jnp.int32(0)
+
+        def bump(c):
+            if DEBUG_COUNTERS:
+                cnt_ref[0, c] = cnt_ref[0, c] + 1
         tmin = jnp.float32(t_min)
         tiny = jnp.float32(1e-20)
 
@@ -151,7 +168,9 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
 
             @pl.when(leave)
             def _():
-                set_world()
+                bump(3)
+                if PROBE_T8 != "noenter":
+                    set_world()
 
             cur_inst = jnp.where(leave, -1, cur_inst)
             gm0 = jnp.where(leave, 255, gm0)
@@ -166,20 +185,25 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                 v = -e
                 gm = v & 255
                 iid = (v >> 8) - 1
-                m = [tf_ref[iid, c] for c in range(12)]
-                wox, woy, woz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
-                wdx, wdy, wdz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
-                set_space(
-                    m[0] * wox + m[1] * woy + m[2] * woz + m[3],
-                    m[4] * wox + m[5] * woy + m[6] * woz + m[7],
-                    m[8] * wox + m[9] * woy + m[10] * woz + m[11],
-                    m[0] * wdx + m[1] * wdy + m[2] * wdz,
-                    m[4] * wdx + m[5] * wdy + m[6] * wdz,
-                    m[8] * wdx + m[9] * wdy + m[10] * wdz)
+                bump(0)
+                if PROBE_T8 != "noenter":
+                    m = [tf_ref[iid, c] for c in range(12)]
+                    wox, woy, woz = (ox_ref[:, :], oy_ref[:, :],
+                                     oz_ref[:, :])
+                    wdx, wdy, wdz = (dx_ref[:, :], dy_ref[:, :],
+                                     dz_ref[:, :])
+                    set_space(
+                        m[0] * wox + m[1] * woy + m[2] * woz + m[3],
+                        m[4] * wox + m[5] * woy + m[6] * woz + m[7],
+                        m[8] * wox + m[9] * woy + m[10] * woz + m[11],
+                        m[0] * wdx + m[1] * wdy + m[2] * wdz,
+                        m[4] * wdx + m[5] * wdy + m[6] * wdz,
+                        m[8] * wdx + m[9] * wdy + m[10] * wdz)
                 stack_ref[sp] = (root_ref[iid, 0] << 8) | 1
                 return sp + 1, iid, sp, gm
 
             def visit_fn(sp, cur_inst, inst_base, gm0):
+                bump(1)
                 mask = e & 255
                 b = e >> 8
                 low = mask & (0 - mask)
@@ -250,9 +274,12 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
                     return sp + off
 
                 def blas_leaves(sp):
+                    if PROBE_T8 == "noleaf":
+                        return sp
                     for j in range(8):
                         @pl.when(((leaf_mask >> j) & 1) == 1)
                         def _leaf(j=j):
+                            bump(2)
                             qv = jnp.sum(
                                 jnp.where(sub1 == j, ghit_i, 0)
                                 + jnp.where((sub1 == j) & (glane == 0),
@@ -358,13 +385,20 @@ def _trace_tiles_tlas8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
         jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
     ]
+    out_specs = [ray_spec] * 5
+    if DEBUG_COUNTERS:
+        # Per-tile (enters, visits, leaves, leaves-of-world-restore)
+        # counts in SMEM — scripts/tlas8_probe.py sums them.
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, 4), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 4), lambda i: (i, 0),
+                                      memory_space=pltpu.SMEM))
     assert records.dtype == jnp.int32
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[ray_spec] * 7 + [vmem_spec, tri_spec,
                                    smem_spec, smem_spec],
-        out_specs=[ray_spec] * 5,
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=(jax.default_backend() == "cpu"),

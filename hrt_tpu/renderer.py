@@ -250,6 +250,68 @@ def _zero3(like) -> V3:
     return V3(z, z, z)
 
 
+def _nee_batch_shade(scene: SceneData, accel, mat: MatP, rows, n: V3,
+                     view: V3, world_pos: V3, config: RenderConfig,
+                     frame, samples):
+    """Shared tail of the importance-sampled NEE paths: evaluate the
+    BRDF for all S picked light samples in ONE predicated light-major
+    Pallas call (ops/shade_pallas.py — sky/dead/back-facing GROUPS skip
+    the Disney math entirely) and trace all S shadow batches in ONE
+    light-major kernel launch, mirroring the unrolled per-light path
+    (direct_lighting_p).  Replaces S separate Disney graphs + S trace
+    calls — the big-scene paths VERDICT r3 #5 flagged as unpredicated.
+
+    samples: per-sample tuples of (N,)-plane values
+    (l unit V3, ldir unnormalized V3, lcol V3, lint, unb, relevant,
+    inv_pdf).  Returns the sample-averaged radiance V3."""
+    cat = jnp.concatenate
+    s_count = len(samples)
+    nrays = n.x.shape[0]
+    if config.shade_pallas and config.brdf != "pbr":
+        from .ops import shade_pallas
+
+        l_lm = V3(cat([s[0].x for s in samples]),
+                  cat([s[0].y for s in samples]),
+                  cat([s[0].z for s in samples]))
+        rel_lm = cat([s[5] for s in samples])
+        f_lm = shade_pallas.brdf_light_major(mat, n, view, l_lm,
+                                             rel_lm, s_count)
+        fs = [f_lm.map(lambda a, i=i: a[i * nrays:(i + 1) * nrays])
+              for i in range(s_count)]
+    else:
+        fs = [_eval_brdf_p(config, mat, rows, n, view, s[0], frame)
+              for s in samples]
+
+    so = world_pos + n * config.normal_offset
+    segs = [_shadow_segment(so, world_pos, s[1], s[0], s[4], s[5],
+                            config)
+            for s in samples]
+    if config.shadow_from_light:
+        o_lm = V3(cat([o.x for o, _, _ in segs]),
+                  cat([o.y for o, _, _ in segs]),
+                  cat([o.z for o, _, _ in segs]))
+    else:
+        # Shared surface origin: `tile`, NOT per-sample concatenate —
+        # the concatenate form flipped XLA's layout assignment for the
+        # whole shading graph (CLAUDE.md layout hazard).
+        o_lm = so.map(lambda a: jnp.tile(a, s_count))
+    d_lm = V3(cat([d.x for _, d, _ in segs]),
+              cat([d.y for _, d, _ in segs]),
+              cat([d.z for _, d, _ in segs]))
+    st_lm = cat([st for _, _, st in segs])
+    occluded = trace_any_p(scene, accel, o_lm, d_lm, config.t_min,
+                           st_lm, config)
+
+    out = _zero3(n.x)
+    for i, (l, ldir, lcol, lint, unb, relevant, inv_pdf) in \
+            enumerate(samples):
+        vis = 1.0 - occluded[i * nrays:(i + 1) * nrays].astype(
+            jnp.float32)
+        contrib = fs[i] * lcol * (lint * vis * inv_pdf)
+        out = out + v3.where(relevant, contrib, _zero3(n.x))
+    return out * (1.0 / jnp.float32(s_count))
+
+
 def _direct_bvh_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
                   view: V3, world_pos: V3, config: RenderConfig,
                   ray_mask, seed, frame):
@@ -264,30 +326,24 @@ def _direct_bvh_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
     # shading program (per bounce).  Fallback for hand-built SceneData.
     tree = (scene.light_tree if scene.light_tree is not None
             else lightbvh.build_light_tree(scene.lights))
-    out = _zero3(n.x)
-    s_count = config.light_samples
-    for _ in range(s_count):
+    samples = []
+    for _ in range(config.light_samples):
         u, seed = rng.rand(seed)
         pick, pdf = lightbvh.sample_light(tree, world_pos, u)
         lrows = scene.lights[pick]
         ldir, lcol, lint, unb = lightbvh.process_light_rows(lrows,
                                                             world_pos)
         l = v3.normalize(ldir)
-        f = _eval_brdf_p(config, mat, rows, n, view, l, frame)
         relevant = ((v3.dot(n, l) > 0.0)
                     & (lint >= config.light_threshold)
                     & (pdf > 1e-12))
         if ray_mask is not None:
             relevant = relevant & ray_mask
-        so = world_pos + n * config.normal_offset
-        o_s, d_s, st = _shadow_segment(so, world_pos, ldir, l, unb,
-                                       relevant, config)
-        occluded = trace_any_p(scene, accel, o_s, d_s, config.t_min,
-                               st, config)
-        vis = 1.0 - occluded.astype(jnp.float32)
-        contrib = f * lcol * (lint * vis / jnp.maximum(pdf, 1e-9))
-        out = out + v3.where(relevant, contrib, _zero3(n.x))
-    return out * (1.0 / jnp.float32(s_count)), seed
+        inv_pdf = 1.0 / jnp.maximum(pdf, 1e-9)
+        samples.append((l, ldir, lcol, lint, unb, relevant, inv_pdf))
+    out = _nee_batch_shade(scene, accel, mat, rows, n, view, world_pos,
+                           config, frame, samples)
+    return out, seed
 
 
 def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
@@ -330,42 +386,37 @@ def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
 
     liota = jnp.arange(num_lights, dtype=jnp.int32)[:, None]
 
-    out = _zero3(n.x)
-    s_count = config.light_samples
-    for _ in range(s_count):
+    samples = []
+    for _ in range(config.light_samples):
         u, seed = rng.rand(seed)
         thresh = u * total
         pick = jnp.sum((cdf[:-1] < thresh[None]).astype(jnp.int32),
                        axis=0)                            # (N,)
         onehot = liota == pick[None]                      # (L, N)
 
-        def sel(a_ln):
+        def sel(a_ln, onehot=onehot):
             return jnp.sum(jnp.where(onehot, a_ln, 0.0), axis=0)
 
-        def sel_l(a_l):                                   # (L,) scalars
-            return sel(jnp.broadcast_to(a_l[:, None], onehot.shape))
+        def sel_l(a_l, onehot=onehot):                    # (L,) scalars
+            return sel(jnp.broadcast_to(a_l[:, None], onehot.shape),
+                       onehot)
 
         w_pick = sel(ws)
-        pdf = w_pick / total
         l = V3(sel(lx), sel(ly), sel(lz))
         lcol = V3(sel_l(lcol_a[:, 0]), sel_l(lcol_a[:, 1]),
                   sel_l(lcol_a[:, 2]))
         lint = sel(lint_ln)
-        f = _eval_brdf_p(config, mat, rows, n, view, l, frame)
         relevant = w_pick > 1e-9
         if ray_mask is not None:
             relevant = relevant & ray_mask
-        so = world_pos + n * config.normal_offset
         ldir_pick = V3(sel(ldx), sel(ldy), sel(ldz))
         unb_pick = sel_l(unb_a.astype(jnp.float32)) > 0.5
-        o_s, d_s, st = _shadow_segment(so, world_pos, ldir_pick, l,
-                                       unb_pick, relevant, config)
-        occluded = trace_any_p(scene, accel, o_s, d_s, config.t_min,
-                               st, config)
-        vis = 1.0 - occluded.astype(jnp.float32)
-        contrib = f * lcol * (lint * vis / jnp.maximum(pdf, 1e-9))
-        out = out + v3.where(relevant, contrib, _zero3(n.x))
-    return out * (1.0 / jnp.float32(s_count)), seed
+        inv_pdf = 1.0 / jnp.maximum(w_pick / total, 1e-9)
+        samples.append((l, ldir_pick, lcol, lint, unb_pick, relevant,
+                        inv_pdf))
+    out = _nee_batch_shade(scene, accel, mat, rows, n, view, world_pos,
+                           config, frame, samples)
+    return out, seed
 
 
 

@@ -68,6 +68,37 @@ def _instance_grid(n=16):
     return sc
 
 
+def _many_lights_scene(n_lights=256):
+    """Sphere field under an n_lights grid of colored point lights —
+    exercises the light-BVH NEE path (O(log L) descent per sample) at
+    a light count where the O(L) weight scan would dominate."""
+    import numpy as np
+    from hrt_tpu.models.mesh import icosphere, plane
+    from hrt_tpu.models.scene import Scene
+
+    sc = Scene()
+    sph = sc.add_mesh(icosphere(2))
+    gnd = sc.add_mesh(plane(40.0))
+    white = sc.create_material((0.8, 0.8, 0.8), 0.0, 0.8)
+    metal = sc.create_material((0.9, 0.7, 0.3), 1.0, 0.15)
+    sc.create_instance(gnd, white, (0.0, 1.0, 0.0))
+    for i in range(5):
+        for j in range(5):
+            sc.create_instance(
+                sph, metal if (i + j) % 2 else white,
+                (2.0 * (i - 2), 0.3, 2.0 * (j - 2)),
+                scale=(0.6, 0.6, 0.6))
+    rs = np.random.RandomState(11)
+    side = int(np.ceil(np.sqrt(n_lights)))
+    for k in range(n_lights):
+        i, j = divmod(k, side)
+        col = rs.uniform(0.3, 1.0, 3)
+        sc.create_light(
+            (1.5 * (i - side / 2), -1.5 - rs.rand(), 1.5 * (j - side / 2)),
+            tuple(col), 4.0 + 4.0 * rs.rand())
+    return sc
+
+
 def main():
     import bench
     from hrt_tpu.config import RenderConfig
@@ -140,6 +171,15 @@ def main():
         RenderConfig(width=512, height=384, max_depth=1, sky=True),
         spp_note="256 instances, two-level TLAS->BLAS kernel",
         two_level=True)
+
+    # 7. 256-light scene through the light-BVH sampler (VERDICT r3 #5:
+    # a measured number for the O(log L) claim; ref analogue is the
+    # per-light loop at shaders/raytracing.slang:77-85 at scale).
+    run("many_lights_256_512x384", _many_lights_scene(256), demo_cam,
+        RenderConfig(width=512, height=384, max_depth=1, sky=True,
+                     light_samples=2, light_sampler="bvh",
+                     traversal="pallas"),
+        spp_note="256 point lights, light-BVH NEE, 2 samples/pixel")
 
     if only:
         # Merge the re-run configs into the existing record.
