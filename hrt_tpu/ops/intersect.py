@@ -8,12 +8,13 @@ branch-free element-wise math over SoA batches.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .math3d import cross, dot
 
-INF = jnp.float32(1e32)  # ref: shaders/constants.slang:3 (INFINITE)
-TMIN = jnp.float32(1e-3)  # ref: raytracing.slang:105 (ray.TMin)
-_DET_EPS = jnp.float32(1e-12)
+INF = np.float32(1e32)  # ref: shaders/constants.slang:3 (INFINITE)
+TMIN = np.float32(1e-3)  # ref: raytracing.slang:105 (ray.TMin)
+_DET_EPS = np.float32(1e-12)
 
 
 def moller_trumbore(ray_o, ray_d, v0, e1, e2, t_min, t_max):

@@ -9,13 +9,16 @@ vectorized; helpers return the advanced state functionally (no inout).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _U32 = jnp.uint32
-# xxHash32 primes (ref: shaders/random.slang:3).
-_PRIME1 = jnp.uint32(2246822519)
-_PRIME2 = jnp.uint32(3266489917)
-_PRIME3 = jnp.uint32(668265263)
-_PRIME4 = jnp.uint32(374761393)
+# xxHash32 primes (ref: shaders/random.slang:3).  numpy scalars, not
+# jnp arrays: module import must not initialize the XLA backend (farm
+# workers call jax.distributed.initialize after importing hrt_tpu).
+_PRIME1 = np.uint32(2246822519)
+_PRIME2 = np.uint32(3266489917)
+_PRIME3 = np.uint32(668265263)
+_PRIME4 = np.uint32(374761393)
 
 
 def _rotl(x: jnp.ndarray, r: int) -> jnp.ndarray:

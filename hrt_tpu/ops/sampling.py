@@ -10,6 +10,7 @@ drive real multi-bounce GI.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import materials as M
 from ..models.materials import MatP
@@ -17,8 +18,8 @@ from . import v3
 from .math3d import cross, dot, normalize, square, to_local, to_world
 from .v3 import V3
 
-TWO_PI = jnp.float32(6.2831853071795)
-ONE_OVER_PI = jnp.float32(0.3183098861837)
+TWO_PI = np.float32(6.2831853071795)
+ONE_OVER_PI = np.float32(0.3183098861837)
 
 
 # ---------------------------------------------------------------------------
