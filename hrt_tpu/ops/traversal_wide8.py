@@ -54,6 +54,7 @@ PROBE8 = _os.environ.get("HRT_W8_PROBE", "")
 def _make_kernel(nw: int, leaf_size: int, t_min: float,
                  find_closest: bool, tris_in_vmem: bool = True,
                  exact: bool = False, leaf_base: bool = False,
+                 pack: bool = False,
                  guards: bool = False, n_tri_lanes: int = 0):
     """exact=False: conservative per-group interval node tests (fast
     for coherent bundles — primary/bounce blocks).  exact=True: per-RAY
@@ -353,7 +354,59 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
                             tlim_ref[0:1, g:g + 1] = jnp.max(
                                 bt, axis=(0, 1), keepdims=True)
 
-            if leaf_base and PROBE8 != "noleaf":
+            if pack and PROBE8 != "noleaf":
+                # Packed leaf crossings (requires reorder-built records:
+                # leaf children at leaf_base + j*K, leaf_base<<8 carried
+                # in sublane 1 of lane 7).  The per-child scheme below
+                # pays ONE ~0.5-0.75 us crossing per HIT CHILD — the
+                # measured round-3 wall, and on incoherent 1080p bounce
+                # tiles visits hit ~2.3 children on average (saturated
+                # ones up to 8).  Here the 8 children's EXACT group
+                # masks ride in at most THREE crossings: w0 = leaf_base
+                # | child-0 mask, w1 = children 1-3 masks, w2 =
+                # children 4-7 masks — each pl.when-gated by leaf_mask
+                # bits already in scalar space, so single-child visits
+                # in slots 0-3 still pay <= 2.  Moller work is
+                # IDENTICAL to the per-child scheme (same masks).
+                @pl.when(leaf_mask != 0)
+                def _leaves():
+                    mg = jnp.where(is_leaf & ghit, ghit_i, 0)  # (8, ng)
+                    w0 = jnp.sum(
+                        jnp.where(sub1 == 0, mg, 0)
+                        + jnp.where((sub1 == 1) & (glane == 0),
+                                    base_l, 0))
+                    lb = w0 >> 8
+
+                    @pl.when((leaf_mask & 1) == 1)
+                    def _():
+                        leaf_body(lb, w0 & 255)
+
+                    @pl.when((leaf_mask & 0x0E) != 0)
+                    def _mid():
+                        sh1 = jnp.clip((sub1 - 1) * 8, 0, 16)
+                        w1 = jnp.sum(
+                            jnp.where((sub1 >= 1) & (sub1 <= 3),
+                                      mg << sh1, 0))
+                        for j in (1, 2, 3):
+                            @pl.when(((leaf_mask >> j) & 1) == 1)
+                            def _(j=j):
+                                leaf_body(lb + j * leaf_size,
+                                          (w1 >> (8 * (j - 1))) & 255)
+
+                    @pl.when((leaf_mask & 0xF0) != 0)
+                    def _hi():
+                        # Child 7's group-7 bit lands in bit 31; i32
+                        # shifts are arithmetic but every extraction
+                        # masks & 255, so sign smear is harmless.
+                        sh2 = jnp.clip((sub1 - 4) * 8, 0, 24)
+                        w2 = jnp.sum(
+                            jnp.where(sub1 >= 4, mg << sh2, 0))
+                        for j in (4, 5, 6, 7):
+                            @pl.when(((leaf_mask >> j) & 1) == 1)
+                            def _(j=j):
+                                leaf_body(lb + j * leaf_size,
+                                          (w2 >> (8 * (j - 4))) & 255)
+            elif leaf_base and PROBE8 != "noleaf":
                 # Leaf-base mode (wide8 reorder): the node's leaf
                 # children sit at leaf_base + j*K, so ONE crossing per
                 # leaf VISIT — leaf_base<<8 from record sublane 1 of
@@ -499,13 +552,19 @@ def trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
     pay K extra Moller rounds.  Default OFF; kept as a probe."""
     mode = _os.environ.get("HRT_W8_EXACT", "all")
     exact = {"all": True, "off": False}.get(mode, not find_closest)
-    leaf_base = leaf_base and bool(
-        int(_os.environ.get("HRT_W8_LB", "0")))
+    # leaf_base arg = "records are reorder-built" (accel.w8_lb).  On
+    # such records the PACKED leaf-crossing scheme (<= 3 crossings per
+    # leaf visit, exact per-child masks) is the default; HRT_W8_PACK=0
+    # reverts to one crossing per hit child, HRT_W8_LB=1 to the union-
+    # mask probe (one crossing per visit, over-tested groups).
+    union = leaf_base and bool(int(_os.environ.get("HRT_W8_LB", "0")))
+    pack = (leaf_base and not union
+            and bool(int(_os.environ.get("HRT_W8_PACK", "1"))))
     guards = bool(int(_os.environ.get("HRT_KERNEL_GUARDS", "0")))
     out = _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records,
                              flat_tris, nw=nw, leaf_size=leaf_size,
                              t_min=t_min, find_closest=find_closest,
-                             exact=exact, leaf_base=leaf_base,
+                             exact=exact, leaf_base=union, pack=pack,
                              guards=guards)
     if guards:
         from jax.experimental import io_callback
@@ -562,11 +621,12 @@ def check_pending_guards():
 @functools.partial(jax.jit,
                    static_argnames=("nw", "leaf_size", "t_min",
                                     "find_closest", "exact",
-                                    "leaf_base", "guards"))
+                                    "leaf_base", "pack", "guards"))
 def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
                        nw: int, leaf_size: int, t_min: float,
                        find_closest: bool, exact: bool,
-                       leaf_base: bool = False, guards: bool = False):
+                       leaf_base: bool = False, pack: bool = False,
+                       guards: bool = False):
     rows = ox.shape[0]
     n_tiles = rows // TILE_ROWS
     bnd = group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles)
@@ -574,7 +634,7 @@ def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
 
     kernel = _make_kernel(nw, leaf_size, t_min, find_closest,
                           tris_in_vmem=tris_in_vmem, exact=exact,
-                          leaf_base=leaf_base, guards=guards,
+                          leaf_base=leaf_base, pack=pack, guards=guards,
                           n_tri_lanes=flat_tris.shape[0] * TILE_LANES)
     ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
