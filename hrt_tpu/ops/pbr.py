@@ -13,11 +13,15 @@ correct shared basis from ops/math3d (SURVEY.md S6).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..models import materials as M
 from .math3d import dot, normalize
 
-PI = jnp.float32(3.1415926535897)
+# np (not jnp) scalar: keeps this module import-safe before
+# jax.distributed.initialize (farm workers import the model stack
+# lazily; a module-level device constant would pin the backend).
+PI = np.float32(3.1415926535897)
 
 
 def fresnel_schlick(f0, vdoth):

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -72,7 +73,10 @@ PROBE = os.environ.get("HRT_PROBE", "")
 # fallback for trees past the wide8 id-packing/VMEM bounds (it can
 # stream nodes from HBM).
 WIDE8 = bool(int(os.environ.get("HRT_WIDE8", "1")))
-INF = jnp.float32(1e32)
+# np (not jnp) scalar: a module-level jnp constant would initialize
+# the backend at import time, breaking farm workers that must call
+# jax.distributed.initialize first (see parallel/farm.py).
+INF = np.float32(1e32)
 # VMEM budgets (f32 words).  Small scenes keep node + triangle tables
 # resident in VMEM; larger ones keep only nodes resident and DMA leaf
 # triangle blocks from HBM on demand; beyond the node budget the node

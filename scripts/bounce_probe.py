@@ -61,8 +61,16 @@ def run_one(probe: str) -> None:
     # reloaded by the probe variants.
     comps_c = [tt(o.x), tt(o.y), tt(o.z), tt(d.x), tt(d.y), tt(d.z),
                tt(jnp.full((n,), 1e32, jnp.float32), fill=-1.0)]
-    cache = f"/tmp/bounce_rays_{leaf}_{tp.TILE_ROWS}.npz"
+    # Cache key includes a scene fingerprint (triangle count + a hash
+    # of the first tri plane) so scene/camera/kernel changes across
+    # rounds can't silently reload stale bounce rays (ADVICE r4).
+    import hashlib
+    fp = hashlib.sha1(np.asarray(tris[:1]).tobytes()).hexdigest()[:8]
+    cache = (f"/tmp/bounce_rays_{leaf}_{tp.TILE_ROWS}"
+             f"_{tris.shape[0]}_{fp}.npz")
     if os.path.exists(cache):
+        print(f"[bounce_probe] reusing ray cache {cache} "
+              f"(mtime {os.path.getmtime(cache):.0f})")
         z = np.load(cache)
         ox_, oy_, oz_ = [jnp.asarray(z[k]) for k in ("ox", "oy", "oz")]
         dx_, dy_, dz_ = [jnp.asarray(z[k]) for k in ("dx", "dy", "dz")]

@@ -128,25 +128,31 @@ def test_wide8_leaf_base_layout():
         assert cls == sorted(cls)
 
 
-def test_wide8_leaf_base_off_matches(monkeypatch):
-    """HRT_W8_LB=0 (per-child crossings) on reorder-built records must
-    produce identical hits to leaf-base mode — regression for the
-    decision-crossing base corruption (sublane 1 carries leaf_base<<8
-    and must never leak into base)."""
+def test_wide8_leaf_crossing_schemes_match(monkeypatch):
+    """All three leaf-crossing schemes on reorder-built records must
+    produce identical hits: per-child (HRT_W8_LB=0 HRT_W8_PACK=0 — the
+    round-3 decision-crossing base-corruption regression: sublane 1
+    carries leaf_base<<8 and must never leak into base), union-mask
+    (HRT_W8_LB=1), and packed (HRT_W8_PACK=1, the production default)."""
     monkeypatch.setenv("HRT_WIDE8_CPU", "1")
     monkeypatch.setattr(tp, "WIDE8", True)
     data, accel, _, _, _ = _wide8_accel(4)
     assert accel.w8_lb
     o, d = random_rays(4, n=256)
     oj, dj = jnp.asarray(o), jnp.asarray(d)
-    monkeypatch.setenv("HRT_W8_LB", "1")
-    t_on, tri_on = tp.closest_hit(data, accel, oj, dj, 1e-3, 1e32)[:2]
-    monkeypatch.setenv("HRT_W8_LB", "0")
-    t_off, tri_off = tp.closest_hit(data, accel, oj, dj, 1e-3, 1e32)[:2]
-    np.testing.assert_array_equal(np.asarray(tri_on),
-                                  np.asarray(tri_off))
-    np.testing.assert_allclose(np.asarray(t_on), np.asarray(t_off),
-                               rtol=1e-6, atol=1e-6)
+    outs = {}
+    for name, lb, pack in (("union", "1", "1"), ("perchild", "0", "0"),
+                           ("pack", "0", "1")):
+        monkeypatch.setenv("HRT_W8_LB", lb)
+        monkeypatch.setenv("HRT_W8_PACK", pack)
+        outs[name] = tp.closest_hit(data, accel, oj, dj, 1e-3, 1e32)[:2]
+    t0, tri0 = outs["pack"]
+    for name in ("union", "perchild"):
+        t_, tri_ = outs[name]
+        np.testing.assert_array_equal(np.asarray(tri0),
+                                      np.asarray(tri_), err_msg=name)
+        np.testing.assert_allclose(np.asarray(t0), np.asarray(t_),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
 
 
 def test_wide8_skipped_for_huge_trees(monkeypatch):
@@ -156,14 +162,20 @@ def test_wide8_skipped_for_huge_trees(monkeypatch):
     assert accel.w8 is None
 
 
+@pytest.mark.parametrize("pack", ["0", "1"])
 @pytest.mark.parametrize("corrupt", ["base", "leaf", "clean"])
-def test_wide8_kernel_guards(corrupt, monkeypatch):
+def test_wide8_kernel_guards(corrupt, pack, monkeypatch):
     """HRT_KERNEL_GUARDS=1: a corrupted record table (the round-3
     reorder base-masking fault class — an out-of-range node base or
     leaf tri_start) raises a host-side guard error instead of a TPU
-    device fault; clean records pass untouched."""
+    device fault; clean records pass untouched.  Parametrized over the
+    leaf-crossing scheme: the per-child path walks each hit slot's
+    meta, while pack mode derives tri_starts from the leaf_base<<8
+    word (sublane 1 of lane 7) — each leg corrupts the word its
+    kernel actually reads."""
     monkeypatch.setenv("HRT_WIDE8_CPU", "1")
     monkeypatch.setenv("HRT_KERNEL_GUARDS", "1")
+    monkeypatch.setenv("HRT_W8_PACK", pack)
     monkeypatch.setattr(tp, "WIDE8", True)
     data, accel, v0, e1, e2 = _wide8_accel(4)
     rec = np.asarray(accel.w8).copy()
@@ -171,16 +183,23 @@ def test_wide8_kernel_guards(corrupt, monkeypatch):
         # Root node 0: base lane (c=7, sublane 0) -> far out of range.
         rec[0, 0, 7] = 1 << 14
     elif corrupt == "leaf":
-        # A LIVE leaf slot's meta -> tri_start beyond the pool.  The
-        # reorder build fills leaf-form metas into ABSENT child slots
-        # too (their boxes are the +big empty sentinel and are never
-        # visited), so pick a slot whose box is real; 1 << 16 decodes
-        # to start 65535 without wrapping the meta<<8 packing.
+        # A LIVE leaf slot -> tri_start beyond the pool.  The reorder
+        # build fills leaf-form metas into ABSENT child slots too
+        # (their boxes are the +big empty sentinel and are never
+        # visited), so pick a slot whose box is real.
         metas = rec[:, :, 6::8]                      # (rows, slot, q)
         bminx = np.ascontiguousarray(rec[:, :, 0::8]).view(np.float32)
         live = (metas > 0) & (bminx < 1e30)
         r_, s_, q_ = [int(a[0]) for a in np.nonzero(live)]
-        rec[r_, s_, q_ * 8 + 6] = 1 << 16
+        if pack == "1":
+            # Pack mode never reads per-child meta: corrupt the
+            # leaf_base<<8 word that node's visits actually decode
+            # (lb = word >> 8, so 1 << 24 -> start 65536).
+            rec[r_, 1, q_ * 8 + 7] = 1 << 24
+        else:
+            # 1 << 16 decodes to start 65535 without wrapping the
+            # meta<<8 packing.
+            rec[r_, s_, q_ * 8 + 6] = 1 << 16
     accel = accel.replace(w8=jnp.asarray(rec))
     o, d = random_rays(4, n=256)
     import jax
