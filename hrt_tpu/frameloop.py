@@ -178,6 +178,27 @@ class FrameLoop:
         if self.up_history is not None:
             self.up_history = jnp.zeros_like(self.up_history)
 
+    def set_resolution(self, width: int, height: int) -> None:
+        """Switch render resolution mid-session (the reference
+        recreates its swapchain on live resize and keeps rendering,
+        RTApp.cpp:214-232 / SwapChain.cpp:133).  Scene + BVH are
+        resolution-independent and survive; the size-dependent state
+        (denoise history, accumulation, upscaler history) is rebuilt
+        and temporal history restarts — exactly what a swapchain
+        recreation does to the reference's frame resources.  A shape
+        rendered before (or prewarmed via scripts/prewarm.py) hits the
+        jit/persistent-compilation cache, so the switch is seconds, not
+        a fresh Mosaic compile."""
+        if (width, height) == (self.config.width, self.config.height):
+            return
+        self.config = dataclasses.replace(self.config,
+                                          width=width, height=height)
+        self.prev_cams = None
+        self.up_history = (None if self.up_history is None else
+                           jnp.zeros((2 * height, 2 * width, 3),
+                                     jnp.float32))
+        self.reset_history()
+
     def set_instance_transform(self, idx: int, position=None,
                                rotation=None, scale=None) -> None:
         """Animate one instance (two-level mode): update its TRS and

@@ -93,9 +93,56 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
             for c, val in enumerate(vals):
                 scr_ref[c, :, :] = val
 
-        def set_world():
-            set_space(ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
-                      dx_ref[:, :], dy_ref[:, :], dz_ref[:, :])
+        def set_space_groups(gm, m):
+            """Per-GROUP instance re-basing: transform only the 8-row
+            groups whose bit is set in gm (the instance's TLAS-leaf hit
+            mask) — the BLAS walk gates every node test, leaf push, and
+            Moller round by the same mask, so untouched groups' planes
+            are never read.  Entries typically hit 1-2 of the 8 groups
+            (tlas8_probe counters), so this cuts the dominant enter
+            cost (12 full-tile plane writes + the transform math) to
+            the hit groups only."""
+            for g in range(ng):
+                sl = slice(8 * g, 8 * (g + 1))
+
+                @pl.when(((gm >> g) & 1) == 1)
+                def _(sl=sl):
+                    wox, woy, woz = (ox_ref[sl, :], oy_ref[sl, :],
+                                     oz_ref[sl, :])
+                    wdx, wdy, wdz = (dx_ref[sl, :], dy_ref[sl, :],
+                                     dz_ref[sl, :])
+                    tox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                    toy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                    toz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                    tdx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                    tdy = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                    tdz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                    ix, iy, iz = inv(tdx), inv(tdy), inv(tdz)
+                    vals = (ix, iy, iz, tox * ix, toy * iy, toz * iz,
+                            tox, toy, toz, tdx, tdy, tdz)
+                    for c, val in enumerate(vals):
+                        scr_ref[c, sl, :] = val
+
+        def set_world(gm=None):
+            if gm is None:
+                set_space(ox_ref[:, :], oy_ref[:, :], oz_ref[:, :],
+                          dx_ref[:, :], dy_ref[:, :], dz_ref[:, :])
+                return
+            # Restore only the groups the last instance entry dirtied.
+            for g in range(ng):
+                sl = slice(8 * g, 8 * (g + 1))
+
+                @pl.when(((gm >> g) & 1) == 1)
+                def _(sl=sl):
+                    tox, toy, toz = (ox_ref[sl, :], oy_ref[sl, :],
+                                     oz_ref[sl, :])
+                    tdx, tdy, tdz = (dx_ref[sl, :], dy_ref[sl, :],
+                                     dz_ref[sl, :])
+                    ix, iy, iz = inv(tdx), inv(tdy), inv(tdz)
+                    vals = (ix, iy, iz, tox * ix, toy * iy, toz * iz,
+                            tox, toy, toz, tdx, tdy, tdz)
+                    for c, val in enumerate(vals):
+                        scr_ref[c, sl, :] = val
 
         set_world()
         t_ref[:, :] = tmax_ref[:, :]
@@ -156,7 +203,7 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
             return st[0] > 0
 
         def step(st):
-            sp, cur_inst, inst_base, gm0 = st
+            sp, cur_inst, inst_base, gm0, dirty = st
             sp = sp - 1
             e = stack_ref[sp]
             # Restore world space lazily: only when the popped entry is
@@ -164,45 +211,39 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
             # object space.  Consecutive instance entries (the common
             # case: several instances pending from one TLAS visit) skip
             # the restore entirely — enter_fn reads the input refs.
+            # Only the groups dirtied since the last world state (the
+            # union of the intervening entries' masks) are restored.
             leave = (e >= 0) & (cur_inst >= 0) & (sp < inst_base)
 
             @pl.when(leave)
             def _():
                 bump(3)
                 if PROBE_T8 != "noenter":
-                    set_world()
+                    set_world(dirty)
 
             cur_inst = jnp.where(leave, -1, cur_inst)
             gm0 = jnp.where(leave, 255, gm0)
+            dirty = jnp.where(leave, 0, dirty)
 
-            def enter_fn(sp, cur_inst, inst_base, gm0):
-                """TLAS instance leaf: re-base the tile into the
-                instance's object space + push its BLAS root.  The
-                entry carries the instance's per-group AABB hit mask:
-                groups that missed the instance box cannot hit its
-                BLAS (exact per-ray tests at the TLAS leaf), so the
-                whole BLAS walk is gated by it."""
+            def enter_fn(sp, cur_inst, inst_base, gm0, dirty):
+                """TLAS instance leaf: re-base the hit GROUPS of the
+                tile into the instance's object space + push its BLAS
+                root.  The entry carries the instance's per-group AABB
+                hit mask: groups that missed the instance box cannot
+                hit its BLAS (exact per-ray tests at the TLAS leaf), so
+                the whole BLAS walk — and the re-basing itself — is
+                gated by it."""
                 v = -e
                 gm = v & 255
                 iid = (v >> 8) - 1
                 bump(0)
                 if PROBE_T8 != "noenter":
                     m = [tf_ref[iid, c] for c in range(12)]
-                    wox, woy, woz = (ox_ref[:, :], oy_ref[:, :],
-                                     oz_ref[:, :])
-                    wdx, wdy, wdz = (dx_ref[:, :], dy_ref[:, :],
-                                     dz_ref[:, :])
-                    set_space(
-                        m[0] * wox + m[1] * woy + m[2] * woz + m[3],
-                        m[4] * wox + m[5] * woy + m[6] * woz + m[7],
-                        m[8] * wox + m[9] * woy + m[10] * woz + m[11],
-                        m[0] * wdx + m[1] * wdy + m[2] * wdz,
-                        m[4] * wdx + m[5] * wdy + m[6] * wdz,
-                        m[8] * wdx + m[9] * wdy + m[10] * wdz)
+                    set_space_groups(gm, m)
                 stack_ref[sp] = (root_ref[iid, 0] << 8) | 1
-                return sp + 1, iid, sp, gm
+                return sp + 1, iid, sp, gm, dirty | gm
 
-            def visit_fn(sp, cur_inst, inst_base, gm0):
+            def visit_fn(sp, cur_inst, inst_base, gm0, dirty):
                 bump(1)
                 mask = e & 255
                 b = e >> 8
@@ -340,12 +381,13 @@ def _make_kernel(tlas_nw: int, n_inst: int, leaf_size: int, t_min: float,
 
                 sp = jax.lax.cond(in_tlas & (leaf_mask != 0),
                                   tlas_leaves, blas_leaves, sp)
-                return sp, cur_inst, inst_base, gm0
+                return sp, cur_inst, inst_base, gm0, dirty
 
             return jax.lax.cond(e < 0, enter_fn, visit_fn,
-                                sp, cur_inst, inst_base, gm0)
+                                sp, cur_inst, inst_base, gm0, dirty)
 
-        st = (jnp.int32(1), jnp.int32(-1), jnp.int32(0), jnp.int32(255))
+        st = (jnp.int32(1), jnp.int32(-1), jnp.int32(0), jnp.int32(255),
+              jnp.int32(0))
         jax.lax.while_loop(cond, step, st)
 
     return kernel

@@ -109,7 +109,12 @@ _PAGE = """<!doctype html>
  image-rendering:pixelated; max-width:100vw }
 </style></head><body>
 <div id="bar">hrt_tpu live preview &mdash; WASD move, E/Q up/down,
-arrows look &mdash; <span id="fps">-</span></div>
+arrows look &mdash; <span id="fps">-</span> &mdash; size
+<select id="res" onchange="fetch('/resize', {method:'POST',
+  body: JSON.stringify({size: this.value})})">
+<option>keep</option><option>256x192</option><option>512x384</option>
+<option>800x600</option><option>1280x720</option>
+<option>1920x1080</option></select></div>
 <img id="view" src="/frame.png">
 <script>
 const held = new Set();
@@ -147,6 +152,7 @@ class PreviewServer:
         self._frame_event = threading.Event()
         self._lock = threading.Lock()
         self._keys: set = set()
+        self._resize = None
         self.frames_served = 0
         outer = self
 
@@ -203,19 +209,37 @@ class PreviewServer:
                     self.end_headers()
 
             def do_POST(self):
-                if self.path.split("?")[0] != "/keys":
-                    self.send_response(404)
-                    self.end_headers()
-                    return
+                path = self.path.split("?")[0]
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     data = json.loads(self.rfile.read(n) or b"{}")
-                    keys = {str(k).lower()
-                            for k in data.get("keys", [])}
                 except (ValueError, TypeError):
-                    keys = set()
-                with outer._lock:
-                    outer._keys = keys
+                    data = {}
+                if path == "/keys":
+                    keys = {str(k).lower()
+                            for k in data.get("keys", [])
+                            } if isinstance(data, dict) else set()
+                    with outer._lock:
+                        outer._keys = keys
+                elif path == "/resize":
+                    # "WxH" (or {"width","height"}): picked up by the
+                    # render loop before its next frame — the live-
+                    # resize path (ref: RTApp.cpp:214-232).
+                    try:
+                        if "size" in data and "x" in str(data["size"]):
+                            w_, h_ = map(int, data["size"].split("x"))
+                        else:
+                            w_, h_ = int(data["width"]), int(data["height"])
+                        if not (16 <= w_ <= 7680 and 16 <= h_ <= 4320):
+                            raise ValueError(data)
+                        with outer._lock:
+                            outer._resize = (w_, h_)
+                    except (ValueError, TypeError, KeyError):
+                        pass
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
                 self.send_response(204)
                 self.end_headers()
 
@@ -240,6 +264,12 @@ class PreviewServer:
     def held_keys(self) -> set:
         with self._lock:
             return set(self._keys)
+
+    def take_resize(self):
+        """Pop the pending resize request, if any: (width, height)."""
+        with self._lock:
+            req, self._resize = self._resize, None
+        return req
 
     def close(self) -> None:
         self._srv.shutdown()
@@ -268,6 +298,10 @@ def run_preview(loop, camera, port: int = 8000, gamma: float = 2.2,
     n = 0
     try:
         while max_frames is None or n < max_frames:
+            req = srv.take_resize()
+            if req is not None:
+                print(f"preview: resize -> {req[0]}x{req[1]}")
+                loop.set_resolution(*req)
             img = jax.block_until_ready(loop.step(ctl.camera()))
             srv.publish(tonemap(jax.device_get(img), gamma=gamma))
             now = time.perf_counter()

@@ -63,3 +63,31 @@ def test_culling_in_loop():
     loop = FrameLoop(reference_demo_scene(), cfg, cull_threshold_px=1.0)
     img = loop.step(Camera())
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_runtime_resolution_switch():
+    """Live resize mid-session (ref: RTApp.cpp:214-232 recreates the
+    swapchain and keeps rendering): scene + BVH survive, size-dependent
+    state rebuilds, temporal history restarts, and the denoise/upscale
+    stages run at the new shape."""
+    cfg = RenderConfig(max_depth=1, sky=True, denoise=True,
+                       accumulate=True, **SMALL)
+    loop = FrameLoop(reference_demo_scene(), cfg, cull_threshold_px=0)
+    img = loop.step(Camera())
+    assert img.shape == (48, 64, 3)
+    accel_before = loop.accel
+    loop.set_resolution(96, 64)
+    assert loop.accel is accel_before          # BVH untouched
+    assert loop.frame == 0                     # history restarted
+    img = loop.step(Camera())
+    assert img.shape == (64, 96, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    # No-op resize keeps state.
+    loop.set_resolution(96, 64)
+    assert loop.frame == 1
+    # And back down again, with the upscaler history following.
+    cfg2 = RenderConfig(max_depth=1, sky=True, upscale=2, **SMALL)
+    loop2 = FrameLoop(reference_demo_scene(), cfg2, cull_threshold_px=0)
+    assert loop2.step(Camera()).shape == (96, 128, 3)
+    loop2.set_resolution(32, 24)
+    assert loop2.step(Camera()).shape == (48, 64, 3)

@@ -133,3 +133,69 @@ def test_run_preview_with_frameloop_cpu():
         assert srv._frame_png[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         pv.PreviewServer.__init__ = orig_init
+
+
+def test_resize_endpoint_roundtrip():
+    """POST /resize queues one (w, h) request; take_resize pops it."""
+    srv = PreviewServer(port=0)
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        assert srv.take_resize() is None
+        req = urllib.request.Request(
+            f"{url}/resize", data=json.dumps({"size": "512x384"})
+            .encode(), method="POST")
+        assert urllib.request.urlopen(req, timeout=5).status == 204
+        assert srv.take_resize() == (512, 384)
+        assert srv.take_resize() is None       # popped
+        # width/height form + garbage are accepted/ignored.
+        for body, want in (({"width": 64, "height": 48}, (64, 48)),
+                           ({"size": "keep"}, None),
+                           ({"size": "0x0"}, None)):
+            req = urllib.request.Request(
+                f"{url}/resize", data=json.dumps(body).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=5)
+            assert srv.take_resize() == want
+    finally:
+        srv.close()
+
+
+def test_run_preview_applies_resize():
+    """A queued resize request changes the next frame's size."""
+    import threading
+
+    from hrt_tpu.config import RenderConfig
+    from hrt_tpu.frameloop import FrameLoop
+    from hrt_tpu.models.camera import Camera
+    from hrt_tpu.models.scene import reference_demo_scene
+    from hrt_tpu import preview as pv
+
+    cfg = RenderConfig(width=64, height=48, max_depth=1, sky=True,
+                       traversal="bvh")
+    loop = FrameLoop(reference_demo_scene(), cfg, cull_threshold_px=0.0)
+    cam = Camera(position=(0, 0, -2))
+
+    captured = {}
+    orig_init = pv.PreviewServer.__init__
+
+    def patched(self, host="127.0.0.1", port=0):
+        orig_init(self, "127.0.0.1", 0)
+        self._resize = (96, 64)     # pre-queued resize
+        captured["srv"] = self
+
+    pv.PreviewServer.__init__ = patched
+    try:
+        t = threading.Thread(
+            target=pv.run_preview,
+            kwargs=dict(loop=loop, camera=cam, max_frames=2))
+        t.start()
+        t.join(timeout=120)
+        assert not t.is_alive()
+    finally:
+        pv.PreviewServer.__init__ = orig_init
+    assert (loop.config.width, loop.config.height) == (96, 64)
+    from PIL import Image
+    import io
+
+    arr = np.asarray(Image.open(io.BytesIO(captured["srv"]._frame_png)))
+    assert arr.shape[:2] == (64, 96)
