@@ -21,10 +21,14 @@ tables — O(log L) instead of the O(L) weight scan of the flat CDF
 sampler (renderer._direct_sampled_p), which this replaces for large
 light counts.
 
-Directional lights carry no position; their importance inside the tree
-uses the stored position field (distance-independent sampling of
-directionals mixes poorly here — scenes dominated by many directional
-lights should keep the flat sampler).
+Directional lights carry no meaningful position, so their energy rides
+a SEPARATE distance-independent channel: each cluster stores
+(energy_pos, energy_dir), and cluster importance is
+energy_pos / d(p, box)^2 + energy_dir — matching the shading-time
+semantics (process_light_rows applies a directional's intensity with
+no falloff, a point/spot's with 1/d^2).  The descent probabilities and
+the returned pdf always come from the same weights, so the estimator
+stays unbiased for any mix.
 """
 from __future__ import annotations
 
@@ -46,7 +50,8 @@ class LightTree(NamedTuple):
 
     bmin: tuple           # level k: (2^k, 3)
     bmax: tuple
-    energy: tuple         # level k: (2^k,)
+    energy: tuple         # level k: (2^k,) positional (point/spot)
+    energy_dir: tuple     # level k: (2^k,) directional (no falloff)
     perm: jnp.ndarray     # (Lp,) leaf -> original light row (dummies
     #                       point at light 0 but carry zero energy)
 
@@ -67,8 +72,18 @@ def build_light_tree(lights: jnp.ndarray) -> LightTree:
     lp = 1
     while lp < l:
         lp *= 2
+    from ..models.lights import DIRECTIONAL, TYPE
+
     pos = lights[:, 0:3]
     energy = lights[:, 6] * (_luminance(lights[:, 3:6]) + 1e-6)
+    # Directional lights (with a real direction) shade with NO distance
+    # falloff (process_light_rows), so their energy goes to the
+    # distance-independent channel.
+    ldir = lights[:, 8:11]
+    is_dir = (lights[:, TYPE] == DIRECTIONAL) & (
+        jnp.sum(ldir * ldir, axis=1) > 1e-12)
+    e_pos = jnp.where(is_dir, 0.0, energy)
+    e_dir = jnp.where(is_dir, energy, 0.0)
 
     codes = morton.morton_codes(pos, jnp.min(pos, 0), jnp.max(pos, 0))
     order = jnp.argsort(codes).astype(I32)
@@ -77,28 +92,31 @@ def build_light_tree(lights: jnp.ndarray) -> LightTree:
     perm = jnp.concatenate(
         [order, jnp.broadcast_to(order[-1], (lp - l,))])
     leaf_pos = pos[perm]
-    leaf_e = jnp.concatenate(
-        [energy[order], jnp.zeros((lp - l,), jnp.float32)])
+    pad0 = jnp.zeros((lp - l,), jnp.float32)
+    leaf_e = jnp.concatenate([e_pos[order], pad0])
+    leaf_ed = jnp.concatenate([e_dir[order], pad0])
 
-    bmin, bmax, e = [leaf_pos], [leaf_pos], [leaf_e]
+    bmin, bmax, e, ed = [leaf_pos], [leaf_pos], [leaf_e], [leaf_ed]
     while bmin[0].shape[0] > 1:
         bmin.insert(0, jnp.minimum(bmin[0][0::2], bmin[0][1::2]))
         bmax.insert(0, jnp.maximum(bmax[0][0::2], bmax[0][1::2]))
         e.insert(0, e[0][0::2] + e[0][1::2])
+        ed.insert(0, ed[0][0::2] + ed[0][1::2])
     return LightTree(bmin=tuple(bmin), bmax=tuple(bmax), energy=tuple(e),
-                     perm=perm)
+                     energy_dir=tuple(ed), perm=perm)
 
 
-def _importance(bmin, bmax, energy, idx, p: V3):
-    """Cluster importance for each ray: energy / max(d(p, box)^2, eps).
-    Gathers one level's arrays at per-ray node indices."""
+def _importance(bmin, bmax, energy, energy_dir, idx, p: V3):
+    """Cluster importance for each ray:
+    energy / max(d(p, box)^2, eps) + energy_dir (directional channel,
+    no falloff).  Gathers one level's arrays at per-ray indices."""
     bn = bmin[idx]
     bx = bmax[idx]
     cx = jnp.clip(p.x, bn[:, 0], bx[:, 0]) - p.x
     cy = jnp.clip(p.y, bn[:, 1], bx[:, 1]) - p.y
     cz = jnp.clip(p.z, bn[:, 2], bx[:, 2]) - p.z
     d2 = cx * cx + cy * cy + cz * cz
-    return energy[idx] / jnp.maximum(d2, 1e-2)
+    return energy[idx] / jnp.maximum(d2, 1e-2) + energy_dir[idx]
 
 
 def sample_light(tree: LightTree, p: V3, u: jnp.ndarray):
@@ -114,9 +132,11 @@ def sample_light(tree: LightTree, p: V3, u: jnp.ndarray):
         li = 2 * idx
         ri = 2 * idx + 1
         wl = _importance(tree.bmin[k + 1], tree.bmax[k + 1],
-                         tree.energy[k + 1], li, p)
+                         tree.energy[k + 1], tree.energy_dir[k + 1],
+                         li, p)
         wr = _importance(tree.bmin[k + 1], tree.bmax[k + 1],
-                         tree.energy[k + 1], ri, p)
+                         tree.energy[k + 1], tree.energy_dir[k + 1],
+                         ri, p)
         total = wl + wr
         pl = jnp.where(total > 0, wl / jnp.maximum(total, 1e-30), 0.5)
         take_l = u < pl

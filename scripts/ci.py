@@ -50,6 +50,21 @@ def main() -> int:
         if rc != 0:
             print("CI: TESTS FAILED")
             return 1
+        # Kernel-guard sweep (VERDICT r4 #9): re-run the traversal
+        # suites with HRT_KERNEL_GUARDS=1 so the device-fault class
+        # (corrupted records / out-of-range indices) is caught as a
+        # host error pre-commit.  The guard tests themselves verify
+        # guards FIRE on corruption; this sweep verifies clean walks
+        # stay silent with validators compiled in.
+        print("== kernel guards sweep ==", flush=True)
+        env = dict(os.environ, HRT_KERNEL_GUARDS="1")
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", "tests/test_wide8.py",
+             "tests/test_tlas8.py", "tests/test_traversal_pallas.py",
+             "-x", "-q"], cwd=ROOT, env=env)
+        if rc != 0:
+            print("CI: GUARD SWEEP FAILED")
+            return 1
 
     if not args.skip_bench:
         print("== TPU benchmark ==", flush=True)

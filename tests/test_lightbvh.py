@@ -123,3 +123,52 @@ def test_renderer_bvh_sampler_matches_full_loop():
     rel_px = (np.abs(acc - full).mean(-1)[bright]
               / np.maximum(full.mean(-1)[bright], 1e-3))
     assert np.median(rel_px) < 0.25, np.median(rel_px)
+
+
+def test_directional_channel_distance_independent():
+    """Directional lights ride the no-falloff energy channel: their
+    pick probability must not collapse with shading-point distance
+    (the round-4 blind spot: importance via the stored position made
+    far points nearly never sample a directional), and the estimator
+    stays unbiased for the mix."""
+    from hrt_tpu.models.lights import DIRECTIONAL, LIGHT_W
+
+    rs = np.random.RandomState(2)
+    rows = np.zeros((9, LIGHT_W), np.float32)
+    rows[:, 0:3] = rs.uniform(-2, 2, (9, 3))
+    rows[:, 3:6] = rs.uniform(0.2, 1.0, (9, 3))
+    rows[:, 6] = rs.uniform(2.0, 8.0, 9)
+    # Light 0 is directional (sun): direction set, type DIRECTIONAL.
+    rows[0, 7] = DIRECTIONAL
+    rows[0, 8:11] = (0.3, 0.8, -0.5)
+    lights = jnp.asarray(rows)
+    tree = lightbvh.build_light_tree(lights)
+    # Channel split invariant: root energies partition by type.
+    e = np.asarray(lights[:, 6]) * (
+        0.2126 * np.asarray(lights[:, 3])
+        + 0.7152 * np.asarray(lights[:, 4])
+        + 0.0722 * np.asarray(lights[:, 5]) + 1e-6)
+    np.testing.assert_allclose(float(tree.energy[0][0]), e[1:].sum(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(tree.energy_dir[0][0]), e[0],
+                               rtol=1e-5)
+
+    n = 200_000
+    # Stratified uniforms: the empirical pick distribution matches the
+    # pdf to O(lights/n), so the unbiasedness check is nearly exact
+    # even when some light's pdf is tiny (heavy-tailed v/pdf).
+    u = jnp.asarray((np.arange(n) + 0.5) / n, jnp.float32)
+    fr = {}
+    for dist in (1.0, 300.0):
+        p = V3(jnp.full((n,), dist), jnp.full((n,), dist),
+               jnp.zeros((n,)))
+        pick, pdf = lightbvh.sample_light(tree, p, u)
+        fr[dist] = float((np.asarray(pick) == 0).mean())
+        # Unbiasedness at this point.
+        v = e * 2.0 + np.arange(9)
+        est = v[np.asarray(pick)] / np.asarray(pdf)
+        np.testing.assert_allclose(est.mean(), v.sum(), rtol=0.02)
+    # Far away, point-light importance ~ e/d^2 -> 0 while the
+    # directional stays at full energy: it must dominate the picks.
+    assert fr[300.0] > 0.9, fr
+    assert fr[1.0] > 0.005, fr
