@@ -45,6 +45,29 @@ TILE_LANES = 128
 WALKS = int(os.environ.get("HRT_WALKS", "1"))
 TILE = TILE_ROWS * TILE_LANES
 BLOCK_ROWS = TILE_ROWS * WALKS
+
+# Per-call walk-tile rows override for the wide8 kernel (0 = TILE_ROWS).
+# Smaller independent walks win on INCOHERENT ray batches (sorted 1080p
+# bounce wavefronts: the 64-ray union walk saturates the tree, so the
+# per-visit vector node tests dominate — scripts/rows_ab.py numbers);
+# trace_paths scopes bounce-depth traces with `walk_rows(...)`.
+_CALL_ROWS = 0
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def walk_rows(rows: int):
+    """Trace-time context: wide8 traces inside use `rows`-row walk
+    tiles (8/16/32; 0 restores the TILE_ROWS default)."""
+    global _CALL_ROWS
+    prev = _CALL_ROWS
+    _CALL_ROWS = rows
+    try:
+        yield
+    finally:
+        _CALL_ROWS = prev
 # Leaf-loop unroll factor: higher = faster steady-state (16 = full
 # unroll at the default leaf size, measured +7-8% over 4), slower
 # Mosaic compile — the persistent compilation cache amortizes it.
@@ -555,7 +578,7 @@ def _run_planes(scene, accel, ox, oy, oz, dx, dy, dz, t_min, t_max,
             *comps, accel.w8, flat.tris,
             nw=accel.w8.shape[0] * 16, leaf_size=leaf_size,
             t_min=float(t_min), find_closest=find_closest,
-            leaf_base=accel.w8_lb)[:4]
+            leaf_base=accel.w8_lb, rows=_CALL_ROWS)[:4]
     else:
         t, tri, u, v = _trace_tiles(
             *comps, flat.nodes, flat.tris,

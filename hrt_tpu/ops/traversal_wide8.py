@@ -55,7 +55,8 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
                  find_closest: bool, tris_in_vmem: bool = True,
                  exact: bool = False, leaf_base: bool = False,
                  pack: bool = False,
-                 guards: bool = False, n_tri_lanes: int = 0):
+                 guards: bool = False, n_tri_lanes: int = 0,
+                 rows: int = 0):
     """exact=False: conservative per-group interval node tests (fast
     for coherent bundles — primary/bounce blocks).  exact=True: per-RAY
     slab tests of all 8 children against every ray row (the box is
@@ -65,7 +66,7 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
     useless (measured 74 vs 14 leaf-visits/tile, 2.6x pass blowup).
     Exact also reads each ray's CURRENT t from the output ref, so
     retired lanes (t=-1) stop driving expansion for free."""
-    rows = TILE_ROWS
+    rows = rows or TILE_ROWS
     ng = rows // 8
     assert rows % 8 == 0 and ng <= 8, "wide8 packs ng group bits"
 
@@ -474,7 +475,8 @@ def _make_kernel(nw: int, leaf_size: int, t_min: float,
     return kernel
 
 
-def group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles: int):
+def group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles: int,
+                     rows: int = 0):
     """Per-(tile, 8-row group) conservative interval bounds, computed
     in plain XLA (one fused pass over the ray planes) and DMA'd into
     the kernel as a (n_tiles, 32, 128) block.
@@ -489,7 +491,7 @@ def group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles: int):
     conservative for every ray (each ray's slab interval is inside its
     class interval).  An empty class borrows the other class's bounds
     so its products stay finite.  Dead rays (t_max < 0) are excluded."""
-    ng = TILE_ROWS // 8
+    ng = (rows or TILE_ROWS) // 8
     tiny = jnp.float32(1e-20)
 
     def inv(c):
@@ -534,7 +536,8 @@ def group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles: int):
 
 def trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
                       nw: int, leaf_size: int, t_min: float,
-                      find_closest: bool, leaf_base: bool = False):
+                      find_closest: bool, leaf_base: bool = False,
+                      rows: int = 0):
     """Run the wide8 kernel over all ray tiles ((R, 128) planes in,
     (t, tri, u, v) planes out — same contract as tp._trace_tiles).
 
@@ -565,7 +568,7 @@ def trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
                              flat_tris, nw=nw, leaf_size=leaf_size,
                              t_min=t_min, find_closest=find_closest,
                              exact=exact, leaf_base=union, pack=pack,
-                             guards=guards)
+                             guards=guards, rows=rows or TILE_ROWS)
     if guards:
         from jax.experimental import io_callback
 
@@ -621,22 +624,27 @@ def check_pending_guards():
 @functools.partial(jax.jit,
                    static_argnames=("nw", "leaf_size", "t_min",
                                     "find_closest", "exact",
-                                    "leaf_base", "pack", "guards"))
+                                    "leaf_base", "pack", "guards",
+                                    "rows"))
 def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
                        nw: int, leaf_size: int, t_min: float,
                        find_closest: bool, exact: bool,
                        leaf_base: bool = False, pack: bool = False,
-                       guards: bool = False):
-    rows = ox.shape[0]
-    n_tiles = rows // TILE_ROWS
-    bnd = group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles)
+                       guards: bool = False, rows: int = 0):
+    rows = rows or TILE_ROWS
+    total_rows = ox.shape[0]
+    n_tiles = total_rows // rows
+    assert n_tiles * rows == total_rows, (total_rows, rows)
+    bnd = group_ray_bounds(ox, oy, oz, dx, dy, dz, tmax, n_tiles,
+                           rows=rows)
     tris_in_vmem = (records.size + flat_tris.size) <= tp.MAX_VMEM_F32
 
     kernel = _make_kernel(nw, leaf_size, t_min, find_closest,
                           tris_in_vmem=tris_in_vmem, exact=exact,
                           leaf_base=leaf_base, pack=pack, guards=guards,
-                          n_tri_lanes=flat_tris.shape[0] * TILE_LANES)
-    ray_spec = pl.BlockSpec((TILE_ROWS, TILE_LANES), lambda i: (i, 0),
+                          n_tri_lanes=flat_tris.shape[0] * TILE_LANES,
+                          rows=rows)
+    ray_spec = pl.BlockSpec((rows, TILE_LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((1, 32, TILE_LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -654,15 +662,15 @@ def _trace_tiles_wide8(ox, oy, oz, dx, dy, dz, tmax, records, flat_tris,
     ]
     assert records.dtype == jnp.int32, "wide8 records must be i32"
     out_shape = [
-        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
-        jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.float32),
+        jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.float32),
     ]
     out_specs = [ray_spec] * 4
     if DEBUG_COUNTERS:
         out_shape.append(
-            jax.ShapeDtypeStruct((rows, TILE_LANES), jnp.int32))
+            jax.ShapeDtypeStruct((total_rows, TILE_LANES), jnp.int32))
         out_specs.append(ray_spec)
     if guards:
         out_shape.append(jax.ShapeDtypeStruct((n_tiles,), jnp.int32))

@@ -139,27 +139,40 @@ def direction_order_key_p(d) -> jnp.ndarray:
 
 
 def bounce_sort_key_p(o, d) -> jnp.ndarray:
-    """Bounce-ray coherence key: Morton code of the ray ORIGIN (batch
-    bounds), direction octant in the low bits — u32.
+    """Bounce-ray coherence key: 6-D Morton over (origin, direction) —
+    8 position bits + 2 direction bits per axis, bit-plane interleaved
+    MSB-first (30-bit u32).
 
     The wide8 kernel's cost is per-GROUP: a (8, 128) group pays node
-    expansions and leaf Moller for the union of its rays' footprints,
-    so spatial clustering of bounce origins is what shrinks the walk
-    (direction-octant alone left bounce closest passes ~10x the
-    primary's cost at 1080p).  Origins cluster the subsequent
-    light-major shadow segments too."""
-    from . import morton
-
+    expansions and leaf Moller for the union of its rays' footprints.
+    Round-5 A/B on the 1080p sorted-bounce distribution
+    (scripts/sortkey_ab.py, device ms best-of-3): 10-bit origin Morton
+    | octant (the round-3 key) 35.67; direction-major 33.15; 6-D
+    Morton p8d2 **28.34** (visits/tile 54.2 -> 46.3, leaf-child
+    visits 121.7 -> 102.8).  Coarser 8-bit position quantization
+    merges nearby origins so the 6 direction bits cluster ray cones
+    within each cell; FINER direction (4-5 bits/axis) fragments
+    origin locality and loses 1.6x.  Origins still cluster the
+    subsequent light-major shadow segments too."""
     lo = jnp.stack([jnp.min(o.x), jnp.min(o.y), jnp.min(o.z)])
     hi = jnp.stack([jnp.max(o.x), jnp.max(o.y), jnp.max(o.z)])
     extent = jnp.maximum(hi - lo, 1e-9)
-    q = lambda c, i: jnp.clip((c - lo[i]) / extent[i] * 1024.0,
-                              0.0, 1023.0).astype(jnp.uint32)
-    code = morton.morton3d(q(o.x, 0), q(o.y, 1), q(o.z, 2))
-    octant = ((d.x > 0).astype(jnp.uint32)
-              | ((d.y > 0).astype(jnp.uint32) << 1)
-              | ((d.z > 0).astype(jnp.uint32) << 2))
-    return (code << jnp.uint32(2)) | (octant >> jnp.uint32(1))
+    PB, DB = 8, 2
+    qp = lambda c, i: jnp.minimum(
+        (jnp.clip((c - lo[i]) / extent[i], 0.0, 1.0 - 1e-7)
+         * (1 << PB)).astype(jnp.uint32), (1 << PB) - 1)
+    qd = lambda c: jnp.minimum(
+        (jnp.clip((c + 1.0) * 0.5, 0.0, 1.0 - 1e-7)
+         * (1 << DB)).astype(jnp.uint32), (1 << DB) - 1)
+    chans = [(qp(o.x, 0), PB), (qp(o.y, 1), PB), (qp(o.z, 2), PB),
+             (qd(d.x), DB), (qd(d.y), DB), (qd(d.z), DB)]
+    out = jnp.zeros(o.x.shape, jnp.uint32)
+    for level in range(PB - 1, -1, -1):
+        for v, b in chans:
+            if level < b:
+                out = ((out << jnp.uint32(1))
+                       | ((v >> jnp.uint32(level)) & 1))
+    return out
 
 
 

@@ -19,6 +19,7 @@ pure elementwise VPU work and feed the Pallas packet kernel's
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -696,7 +697,22 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
         # Retired rays trace with t_max = -1: the packet kernel drops
         # them at the root, and fully-dead tiles exit in one step.
         t_max = INF if depth == 0 else jnp.where(active, INF, -1.0)
-        t, tri, inst, u, v = _trace(o, d, t_max)
+        # Bounce-depth traces (closest AND the NEE shadow batch below)
+        # use smaller independent walk tiles: the sorted bounce
+        # wavefront is still incoherent enough that a 64-ray union
+        # walk saturates the tree, making the per-visit vector node
+        # tests the wall; 16-row walks cut them ~4x at flat crossing
+        # counts (scripts/rows_ab.py, measured).
+        from .ops import traversal_pallas as _tp
+
+        bounce_rows = (int(os.environ.get("HRT_W8_BOUNCE_ROWS", "0"))
+                       if depth > 0 else 0)
+        from contextlib import nullcontext
+
+        rows_ctx = (_tp.walk_rows(bounce_rows) if bounce_rows
+                    else nullcontext())
+        with rows_ctx:
+            t, tri, inst, u, v = _trace(o, d, t_max)
         hit = (tri >= 0) & active
 
         # Miss: sky radiance (rmissMain; black when sky disabled,
@@ -730,10 +746,13 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
 
         # One shading frame per ray, shared across lights and samplers.
         frame = v3.orthonormal_basis(nrm)
-        direct, seed = direct_lighting_p(scene, accel, mat, rows, nrm,
-                                         view, world_pos, config,
-                                         ray_mask=hit, seed=seed,
-                                         frame=frame)
+        rows_ctx = (_tp.walk_rows(bounce_rows) if bounce_rows
+                    else nullcontext())
+        with rows_ctx:  # bounce-depth NEE shadow fans are incoherent too
+            direct, seed = direct_lighting_p(scene, accel, mat, rows,
+                                             nrm, view, world_pos,
+                                             config, ray_mask=hit,
+                                             seed=seed, frame=frame)
         emissive = mat.emissive * mat.emission_strength
         radiance = radiance + v3.where(hit,
                                        throughput * (direct + emissive),

@@ -66,8 +66,8 @@ def run_one(probe: str) -> None:
     # rounds can't silently reload stale bounce rays (ADVICE r4).
     import hashlib
     fp = hashlib.sha1(np.asarray(tris[:1]).tobytes()).hexdigest()[:8]
-    cache = (f"/tmp/bounce_rays_{leaf}_{tp.TILE_ROWS}"
-             f"_{tris.shape[0]}_{fp}.npz")
+    cache = (f"/tmp/bounce_rays_m6_{leaf}_{tp.TILE_ROWS}"
+             f"_{tris.shape[0]}_{fp}.npz")  # m6 = 6-D Morton sort key
     if os.path.exists(cache):
         print(f"[bounce_probe] reusing ray cache {cache} "
               f"(mtime {os.path.getmtime(cache):.0f})")

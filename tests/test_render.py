@@ -115,6 +115,32 @@ def test_indirect_adds_energy():
     assert gi.sum() > direct.sum()
 
 
+def test_sorted_wavefront_matches_unsorted():
+    """config.sort_bounces co-sorts the whole wavefront by the 6-D
+    Morton (origin, direction) key and sorts radiance back by pixel
+    index — output must match the unsorted path to float-reassociation
+    tolerance (renderer.trace_paths round-3 design; key A/B in
+    scripts/sortkey_ab.py)."""
+    def build():
+        sc = Scene()
+        sc.add_mesh(plane(2.0))
+        sc.create_material((0.8, 0.8, 0.8), 0.0, 1.0)
+        sc.create_instance(0, 0, position=(0, 1, 0))
+        sc.create_instance(0, 0, position=(0, -1, 0),
+                           rotation=(np.pi, 0, 0))
+        sc.create_light((0.5, 0, 0.0), (1, 1, 1), 4.0)
+        return sc
+
+    cam = Camera(position=(0, 0, -3.5))
+    base = RenderConfig(max_depth=3, indirect=True, **SMALL)
+    import dataclasses
+
+    plain = render(build(), cam, base)
+    srt = render(build(), cam,
+                 dataclasses.replace(base, sort_bounces=True))
+    np.testing.assert_allclose(srt, plain, rtol=1e-4, atol=1e-5)
+
+
 def test_jit_cache_reuse():
     """Same config -> one compilation (cache hit on second call)."""
     cfg = RenderConfig(max_depth=1, **SMALL)

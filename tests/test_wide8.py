@@ -155,6 +155,37 @@ def test_wide8_leaf_crossing_schemes_match(monkeypatch):
                                    rtol=1e-6, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.parametrize("rows", [8, 16, 32])
+def test_wide8_rows_param_matches(rows, monkeypatch):
+    """The per-call walk-tile `rows` parameter (independent 8/16/32-row
+    walks over the same (R, 128) planes — the incoherent-bounce lever,
+    scripts/rows_ab.py) must produce hits identical to the default
+    64-row walk."""
+    monkeypatch.setenv("HRT_WIDE8_CPU", "1")
+    from hrt_tpu.ops.traversal_wide8 import trace_tiles_wide8
+
+    data, accel, _, _, _ = _wide8_accel(5)
+    o, d = random_rays(5, n=1024)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    n = oj.shape[0]
+    quantum = tp.TILE_ROWS * tp.TILE_LANES
+    n_pad = (n + quantum - 1) // quantum * quantum
+    tt = lambda x, fill=0.0: tp._to_tiles(x, n_pad, fill)
+    comps = [tt(oj[:, 0]), tt(oj[:, 1]), tt(oj[:, 2]),
+             tt(dj[:, 0]), tt(dj[:, 1]), tt(dj[:, 2]),
+             tt(jnp.full((n,), 1e32, jnp.float32), fill=-1.0)]
+    nw = accel.w8.shape[0] * 16
+    kw = dict(nw=nw, leaf_size=accel.leaf_size, t_min=1e-3,
+              find_closest=True, leaf_base=accel.w8_lb)
+    t64, tri64 = trace_tiles_wide8(*comps, accel.w8, accel.flat.tris,
+                                   **kw)[:2]
+    t_r, tri_r = trace_tiles_wide8(*comps, accel.w8, accel.flat.tris,
+                                   rows=rows, **kw)[:2]
+    np.testing.assert_array_equal(np.asarray(tri64), np.asarray(tri_r))
+    np.testing.assert_allclose(np.asarray(t64), np.asarray(t_r),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_wide8_skipped_for_huge_trees(monkeypatch):
     """Trees past the id-packing bound must not get a w8 table."""
     monkeypatch.setattr(wide8, "MAX_WIDE_NODES", 4)
