@@ -28,6 +28,10 @@ class RenderConfig:
     bounce_offset: float = 1e-3      # ref: raytracing.slang:164 (+N*0.001)
     t_min: float = 1e-3              # ref: raytracing.slang:105
     traversal: str = "auto"          # bruteforce | bvh | pallas | auto
+    # BVH leaf size (tris per leaf block).  0 = auto (32: measured
+    # best for both coherent and sorted-bounce regimes -- round-3
+    # probes and the round-5 leaf-16 re-measure in ROADMAP).
+    leaf_size: int = 0
     tri_chunk: int = 512             # brute-force triangle chunk
     block_reorder: bool = True       # pixel-block ray reorder (see renderer)
     # Direction-sort bounce rays between trace stages.  Measured on
@@ -56,6 +60,13 @@ class RenderConfig:
     # bvh past 32 lights.  Only applies when light_samples > 0.
     light_sampler: str = "auto"
     accumulate: bool = False         # temporal accumulation across frames
+    # Block-interleaved light-major shadow batches: each walk tile
+    # holds the SAME hit-point chunk shadowing to all L lights, so the
+    # lights' (heavily overlapping) walks merge — shared node visits,
+    # one decision crossing (measured -5.4% on the bench shadow pass,
+    # scripts/shadow_ilv_ab.py; occlusion bit-identical).  Applies when
+    # L in {2,4,8} divides the walk tile and the batch is tile-aligned.
+    shadow_interleave: bool = True
     # Trace finite-light shadow rays FROM the light toward the surface
     # (same segment, same answer): every ray in a pixel block then
     # shares one origin — tight point-source bundles (explored by the

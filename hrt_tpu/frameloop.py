@@ -122,11 +122,14 @@ class FrameLoop:
         self.scene: SceneData = (
             self.scene_obj.build() if isinstance(self.scene_obj, Scene)
             else self.scene_obj)
-        # K=32 leaf blocks: the wide8 kernel is bound by the one
-        # scalar crossing per hit leaf child (round-3 probes), so
-        # fewer, fatter leaves win (closest 0.51 -> 0.46 ms, shadow
-        # 0.56 -> 0.49; K=64 loses 4x to Moller waste).
-        self.leaf_size = 32
+        # K=32 leaf blocks: the wide8 kernel is crossing-bound on
+        # coherent passes -- fewer, fatter leaves win (round-3:
+        # closest 0.51 -> 0.46 ms; K=64 loses 4x to Moller waste).
+        # K=16 was re-measured for the incoherent bounce regime under
+        # the round-5 6-D Morton sort and LOSES (31.3 vs 28.3 ms:
+        # visits go 46 -> 74/tile and the extra crossings eat the
+        # 26% Moller saving), so 32 stays for indirect configs too.
+        self.leaf_size = cfg.leaf_size or 32
         self.visible = jnp.ones(
             (self.scene.inst_bmin.shape[0],), bool)
         if self.two_level:

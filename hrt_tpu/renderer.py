@@ -208,14 +208,29 @@ def _scene_attr_table(scene: SceneData):
                            axis=1)
 
 
-def _shade_attrs_p(tab, tri_idx, u, v):
+def _shade_attrs_p(tab, tri_idx, u, v, materials=None):
     """Hit attributes from ONE gather of the (T, 16+MAT_W) table.
 
     The gathered rows are transposed once to (W, N) so every field and
     material plane is a free row slice with rays in lanes (ops/v3.py).
     Returns (normal V3 [unit], mat MatP, mat_rows (N, MAT_W) for
     array-API consumers like the pbr BSDF, (tu, tv) interpolated hit
-    UVs for texture sampling)."""
+    UVs for texture sampling).
+
+    When `materials` (the scene's (M, MAT_W) table) is passed and M is
+    small, only the 16 geometry columns are gathered and the material
+    planes come from a where-chain over the tiny table instead of
+    riding the gather — 20 of 36 gathered+transposed columns drop
+    (measured: the [N, 36] gather + [36, N] relayout cost 0.39 ms of
+    the 2.45 ms bench frame and ~5.7 ms per depth at 1080p; values are
+    bit-identical since select picks the same rows the gather would).
+    mat_rows is then the (N,) float TEXTURE-ID plane (rows.ndim == 1
+    marks the mode) — the only per-ray material consumers outside MatP
+    are the texture lookup and the pbr BSDF, and callers only enable
+    the select path when the pbr path is off."""
+    sel = materials is not None and materials.shape[0] <= 8
+    if sel:
+        tab = jax.lax.optimization_barrier(tab[:, :ATTR_MAT])
     rows = tab[jnp.maximum(tri_idx, 0)]           # (N, W) single gather
     # One materialized (W, N//128, 128) relayout; every field is then a
     # contiguous slice (v3.rows_to_planes — the 2-D transposed form
@@ -228,6 +243,16 @@ def _shade_attrs_p(tab, tri_idx, u, v):
         w * rt[2] + u * rt[5] + v * rt[8]))
     tu = w * rt[9] + u * rt[11] + v * rt[13]
     tv = w * rt[10] + u * rt[12] + v * rt[14]
+    if sel:
+        mat_id = rt[15].astype(jnp.int32)
+        planes = []
+        for c in range(materials.shape[1]):
+            pc = jnp.broadcast_to(materials[0, c], mat_id.shape)
+            for m in range(1, materials.shape[0]):
+                pc = jnp.where(mat_id == m, materials[m, c], pc)
+            planes.append(pc)
+        return (normal, MatP.from_rows_t(planes, base=0),
+                planes[M.BASE_COLOR_TEX], (tu, tv))
     return (normal, MatP.from_rows_t(rt, base=ATTR_MAT),
             rows[:, ATTR_MAT:], (tu, tv))
 
@@ -527,25 +552,56 @@ def direct_lighting_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
               for p in per_light]
 
     # Shadow rays (ref: testShadow, raytracing.slang:56-70), flattened
-    # LIGHT-major in one trace call.
-    sd = V3(cat([p[0].x for p in per_light]),
-            cat([p[0].y for p in per_light]),
-            cat([p[0].z for p in per_light]))
-    st = cat([p[1] for p in per_light])
-    if config.shadow_from_light:
-        so = V3(cat([p[5].x for p in per_light]),
-                cat([p[5].y for p in per_light]),
-                cat([p[5].z for p in per_light]))
-    else:
-        so = shadow_o.map(lambda a: jnp.tile(a, num_lights))
-    occluded = trace_any_p(scene, accel, so, sd, config.t_min, st,
-                           config)
+    # LIGHT-major in one trace call.  When the batch is walk-tile
+    # aligned, the lights interleave at tile/L granularity instead of
+    # concatenating whole fans: every tile then traces the SAME
+    # hit-point chunk toward all L lights, merging the lights'
+    # overlapping walks (config.shadow_interleave; -5.4% on the bench
+    # shadow pass, scripts/shadow_ilv_ab.py; bit-identical occlusion).
+    from .ops import traversal_pallas as _tp
 
     nrays = n.x.shape[0]
+    chunk = _tp.TILE // num_lights
+    ilv_ok = (config.shadow_interleave and num_lights in (2, 4, 8)
+              and nrays % chunk == 0 and not config.shadow_from_light
+              and config.traversal in ("pallas", "auto"))
+    if ilv_ok:
+        n_chunks = nrays // chunk
+
+        def ilv(planes):
+            return jnp.concatenate(
+                [p.reshape(n_chunks, 1, chunk) for p in planes],
+                axis=1).reshape(-1)
+
+        sd = V3(ilv([p[0].x for p in per_light]),
+                ilv([p[0].y for p in per_light]),
+                ilv([p[0].z for p in per_light]))
+        st = ilv([p[1] for p in per_light])
+        # Shared surface origins: chunk-broadcast (no transpose copy).
+        so = shadow_o.map(lambda a: jnp.broadcast_to(
+            a.reshape(n_chunks, 1, chunk),
+            (n_chunks, num_lights, chunk)).reshape(-1))
+    else:
+        sd = V3(cat([p[0].x for p in per_light]),
+                cat([p[0].y for p in per_light]),
+                cat([p[0].z for p in per_light]))
+        st = cat([p[1] for p in per_light])
+        if config.shadow_from_light:
+            so = V3(cat([p[5].x for p in per_light]),
+                    cat([p[5].y for p in per_light]),
+                    cat([p[5].z for p in per_light]))
+        else:
+            so = shadow_o.map(lambda a: jnp.tile(a, num_lights))
+    occluded = trace_any_p(scene, accel, so, sd, config.t_min, st,
+                           config)
+    if ilv_ok:
+        occ_l = occluded.reshape(nrays // chunk, num_lights, chunk)
+
     out = _zero3(n.x)
     for i, (_, _, relevant, lcol, lint, _, _) in enumerate(per_light):
-        vis = 1.0 - occluded[i * nrays:(i + 1) * nrays].astype(
-            jnp.float32)
+        occ_i = (occ_l[:, i, :].reshape(-1) if ilv_ok
+                 else occluded[i * nrays:(i + 1) * nrays])
+        vis = 1.0 - occ_i.astype(jnp.float32)
         contrib = fs[i] * lcol * lint
         out = out + v3.where(relevant, contrib * vis, _zero3(n.x))
     return out, seed
@@ -671,12 +727,15 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
     # order-independent: output radiance matches unsorted to float-
     # reassociation ulps (different fusion layouts).
     orig = None
+    rad_px = None
+    # Sort the first `cap` bounces only (default 2): Russian roulette
+    # has killed most rays by depth 3, the depth-2 order is still a
+    # good cluster for the survivors, and each skipped sort saves its
+    # ~14 ms (1080p) of lax.sort time.  HRT_SORT_CAP is a measurement
+    # knob (scripts-level A/B of staleness vs sort cost).
+    sort_cap = int(os.environ.get("HRT_SORT_CAP", "2"))
     for depth in range(config.max_depth):
-        # Sort the first two bounces only: Russian roulette has killed
-        # most rays by depth 3, the depth-2 order is still a good
-        # cluster for the survivors, and each skipped sort saves its
-        # ~17 ms (1080p) of lax.sort time.
-        if config.sort_bounces and 0 < depth <= 2:
+        if config.sort_bounces and 0 < depth <= sort_cap:
             from .ops import wavefront
 
             if orig is None:
@@ -685,14 +744,31 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
             okey = wavefront.bounce_sort_key_p(o, d)
             # Live keys shift right one bit so DEAD can't collide.
             key = jnp.where(active, okey >> jnp.uint32(1), DEAD)
-            (key_, ox_, oy_, oz_, dx_, dy_, dz_, seed, tx_, ty_, tz_,
-             rx_, ry_, rz_, orig) = jax.lax.sort(
-                [key, o.x, o.y, o.z, d.x, d.y, d.z, seed,
-                 throughput.x, throughput.y, throughput.z,
-                 radiance.x, radiance.y, radiance.z, orig],
-                dimension=0, is_stable=False, num_keys=1)
+            first = rad_px is None
+            if first:
+                # Depth-0 radiance stays in a pixel-order buffer and
+                # skips EVERY sort (3 fewer operands in the first
+                # 15-plane sort, ~2.8 ms at 1080p); the carried
+                # accumulator restarts at zero (order-independent) and
+                # only the final orig-keyed sort moves it.  Radiance
+                # arithmetic is unchanged up to float reassociation.
+                rad_px = radiance
+                radiance = _zero3(o.x)
+            ops = [key, o.x, o.y, o.z, d.x, d.y, d.z, seed,
+                   throughput.x, throughput.y, throughput.z]
+            if not first:
+                ops += [radiance.x, radiance.y, radiance.z]
+            ops.append(orig)
+            (key_, ox_, oy_, oz_, dx_, dy_, dz_, seed,
+             tx_, ty_, tz_, *rest) = jax.lax.sort(
+                ops, dimension=0, is_stable=False, num_keys=1)
+            if first:
+                (orig,) = rest
+            else:
+                rx_, ry_, rz_, orig = rest
+                radiance = V3(rx_, ry_, rz_)
             o, d = V3(ox_, oy_, oz_), V3(dx_, dy_, dz_)
-            throughput, radiance = V3(tx_, ty_, tz_), V3(rx_, ry_, rz_)
+            throughput = V3(tx_, ty_, tz_)
             active = key_ != DEAD  # rides the key, not its own operand
         # Retired rays trace with t_max = -1: the packet kernel drops
         # them at the root, and fully-dead tiles exit in one step.
@@ -726,14 +802,22 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
             nrm, mat, rows, uvs = tlas_mod.shade_attrs_tlas(
                 accel, scene.materials, tri, inst, u, v)
         else:
-            nrm, mat, rows, uvs = _shade_attrs_p(tab, tri, u, v)
+            # The narrow-gather material-select path needs the per-ray
+            # material rows to be dead outside MatP/texture lookups:
+            # true whenever the pbr BSDF (the one mat_rows consumer in
+            # shading) is off.
+            sel_mats = (scene.materials
+                        if config.brdf != "pbr" else None)
+            nrm, mat, rows, uvs = _shade_attrs_p(tab, tri, u, v,
+                                                 materials=sel_mats)
         if scene.textures is not None and scene.textures.shape[0] > 0:
             # Base-color texture modulation (models/textures.py; the
             # UV channel the reference plumbs but never consumes,
             # ref: objects.slang:50-53).
             from .models import textures as tex_mod
 
-            tex_id = rows[:, M.BASE_COLOR_TEX].astype(jnp.int32)
+            tex_id = (rows if rows.ndim == 1
+                      else rows[:, M.BASE_COLOR_TEX]).astype(jnp.int32)
             tx, ty, tz = tex_mod.sample_texture_p(
                 scene.textures, tex_id, uvs[0], uvs[1])
             mat = mat._replace(color=mat.color * V3(tx, ty, tz))
@@ -796,11 +880,14 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
 
     if orig is not None:
         # Back to pixel order: one co-sort by the carried pixel index
-        # (unique key, so the result is deterministic).
+        # (unique key, so the result is deterministic), then fold the
+        # never-sorted depth-0 pixel-order radiance back in.
         _, rx_, ry_, rz_ = jax.lax.sort(
             [orig, radiance.x, radiance.y, radiance.z],
             dimension=0, is_stable=False, num_keys=1)
         radiance = V3(rx_, ry_, rz_)
+        if rad_px is not None:
+            radiance = radiance + rad_px
 
     if want_gbuffer:
         if gbuffer is None:  # max_depth == 0 edge case
@@ -819,17 +906,16 @@ def trace_paths(scene: SceneData, accel, o: V3, d: V3, seeds,
 # Frame entry
 # ---------------------------------------------------------------------------
 
-def render_rows(scene: SceneData, accel, cam: CameraArrays,
-                frame: jnp.ndarray, y0, rows: int,
-                config: RenderConfig, want_gbuffer: bool = False):
-    """Render a horizontal band of `rows` rows starting at y0.
-
-    The tile primitive for multi-chip pixel sharding (parallel/tiles.py);
-    y0 may be traced (jax.lax.axis_index inside shard_map).
-    Returns (rows, W, 3) radiance — plus a (rows, W, C) G-buffer dict
-    when want_gbuffer (first-sample first-hit attributes).
-    """
-    w = config.width
+def _primary_setup(accel, cam: CameraArrays, rows: int, w: int, y0,
+                   config: RenderConfig, want_static: bool):
+    """Blocked pixel-index planes + (when want_static, i.e. no jitter)
+    the camera rays themselves — everything about the primary bundle
+    that does NOT depend on the frame index.  render_frames hoists this
+    out of its frames-in-flight lax.scan so static-camera batches pay
+    raygen once per dispatch instead of once per frame (the blocked
+    raygen + walk-block interleave fusions measured ~0.25 ms of the
+    2.45 ms bench frame).  Returns (px, py, unb, o, d) with o/d None
+    when not want_static."""
     from .ops import traversal_pallas, wavefront
 
     bh = traversal_pallas.TILE_ROWS
@@ -884,24 +970,50 @@ def render_rows(scene: SceneData, accel, cam: CameraArrays,
                           [:, None], (rows, w)).reshape(-1)
     px, py = tob(px), tob(py)
     py = jnp.asarray(y0, jnp.uint32) + py
+    o = d = None
+    if want_static:
+        o, d = primary_rays_from_px_p(
+            cam.origin, cam.basis, cam.tan_half_fovy, cam.aspect,
+            w, config.height, px.astype(jnp.float32),
+            py.astype(jnp.float32))
+    return px, py, unb, o, d
+
+
+def render_rows(scene: SceneData, accel, cam: CameraArrays,
+                frame: jnp.ndarray, y0, rows: int,
+                config: RenderConfig, want_gbuffer: bool = False,
+                _pre=None):
+    """Render a horizontal band of `rows` rows starting at y0.
+
+    The tile primitive for multi-chip pixel sharding (parallel/tiles.py);
+    y0 may be traced (jax.lax.axis_index inside shard_map).
+    Returns (rows, W, 3) radiance — plus a (rows, W, C) G-buffer dict
+    when want_gbuffer (first-sample first-hit attributes).
+    _pre: hoisted _primary_setup output (render_frames' scan).
+    """
+    w = config.width
+    if _pre is None:
+        _pre = _primary_setup(accel, cam, rows, w, y0, config,
+                              want_static=not config.jitter)
+    px, py, unb, o_s, d_s = _pre
     seeds = rng.pixel_seed(px, py, frame)
 
     acc = _zero3(jnp.zeros((rows * w,), jnp.float32))
     gbuffer = None
     for s in range(config.spp):
         seeds_s = seeds + jnp.uint32((s * 0x9E3779B9) & 0xFFFFFFFF)
-        pxf = px.astype(jnp.float32)
-        pyf = py.astype(jnp.float32)
         if config.jitter:
             jx, seeds_s = rng.rand(seeds_s)
             jy, seeds_s = rng.rand(seeds_s)
             # frame 0 uses the pixel center (ref: raytracing.slang:97).
             is_f0 = frame == 0
-            pxf = pxf + jnp.where(is_f0, 0.5, jx)
-            pyf = pyf + jnp.where(is_f0, 0.5, jy)
-        o, d = primary_rays_from_px_p(
-            cam.origin, cam.basis, cam.tan_half_fovy, cam.aspect,
-            w, config.height, pxf, pyf)
+            pxf = px.astype(jnp.float32) + jnp.where(is_f0, 0.5, jx)
+            pyf = py.astype(jnp.float32) + jnp.where(is_f0, 0.5, jy)
+            o, d = primary_rays_from_px_p(
+                cam.origin, cam.basis, cam.tan_half_fovy, cam.aspect,
+                w, config.height, pxf, pyf)
+        else:
+            o, d = o_s, d_s
 
         take_gb = want_gbuffer and s == 0
         out = trace_paths(scene, accel, o, d, seeds_s, config,
@@ -937,10 +1049,15 @@ def render_frames(scene: SceneData, accel, cam: CameraArrays,
     over k frames.  Frame index feeds the per-pixel seed, so this is
     the progressive-accumulation / animation hot loop."""
     frame0 = jnp.asarray(frame0, jnp.uint32)
+    # Frame-invariant primaries (blocked pixel planes; camera rays too
+    # when jitter is off) hoist out of the scan — computed once per
+    # k-frame dispatch instead of per frame.
+    pre = _primary_setup(accel, cam, config.height, config.width, 0,
+                         config, want_static=not config.jitter)
 
     def step(carry, i):
         img = render_rows(scene, accel, cam, frame0 + i, 0,
-                          config.height, config)
+                          config.height, config, _pre=pre)
         return carry, img
 
     _, imgs = jax.lax.scan(step, 0, jnp.arange(k, dtype=jnp.uint32))
