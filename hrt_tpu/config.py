@@ -57,7 +57,9 @@ class RenderConfig:
     upscale_mode: str = "spatial"
     # Many-light NEE sampler: "cdf" = flat O(L) weight scan, "bvh" =
     # O(log L) light-BVH stochastic descent (ops/lightbvh.py), "auto" =
-    # bvh past 32 lights.  Only applies when light_samples > 0.
+    # bvh past 384 lights (the measured crossover — lights_ab.py:
+    # the O(L) scan is contiguous VPU work and beats the gather-bound
+    # descent up to ~256 lights).  Only applies when light_samples > 0.
     light_sampler: str = "auto"
     accumulate: bool = False         # temporal accumulation across frames
     # Block-interleaved light-major shadow batches: each walk tile

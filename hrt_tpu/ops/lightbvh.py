@@ -54,6 +54,14 @@ class LightTree(NamedTuple):
     energy_dir: tuple     # level k: (2^k,) directional (no falloff)
     perm: jnp.ndarray     # (Lp,) leaf -> original light row (dummies
     #                       point at light 0 but carry zero energy)
+    # Descent tables: pair[k] is (2^k, 16) = both children of node i
+    # at level k packed in one row [bminL, bmaxL, eL, edL, bminR,
+    # bmaxR, eR, edR].  TPU gathers are ROW-COUNT-bound (~1.5 ns/row
+    # whatever the width — round-5 measurement), so the descent pays
+    # ONE wide gather per level instead of the 16 narrow (N, 3)
+    # gathers + column slices of the naive form (which made the
+    # 256-light descent 3x SLOWER than the O(L) flat-CDF scan).
+    pair: tuple = ()
 
     @property
     def depth(self) -> int:
@@ -102,8 +110,14 @@ def build_light_tree(lights: jnp.ndarray) -> LightTree:
         bmax.insert(0, jnp.maximum(bmax[0][0::2], bmax[0][1::2]))
         e.insert(0, e[0][0::2] + e[0][1::2])
         ed.insert(0, ed[0][0::2] + ed[0][1::2])
+    pair = []
+    for k in range(len(e) - 1):
+        half = lambda s: jnp.concatenate(
+            [bmin[k + 1][s::2], bmax[k + 1][s::2],
+             e[k + 1][s::2, None], ed[k + 1][s::2, None]], axis=1)
+        pair.append(jnp.concatenate([half(0), half(1)], axis=1))
     return LightTree(bmin=tuple(bmin), bmax=tuple(bmax), energy=tuple(e),
-                     energy_dir=tuple(ed), perm=perm)
+                     energy_dir=tuple(ed), perm=perm, pair=tuple(pair))
 
 
 def _importance(bmin, bmax, energy, energy_dir, idx, p: V3):
@@ -119,24 +133,44 @@ def _importance(bmin, bmax, energy, energy_dir, idx, p: V3):
     return energy[idx] / jnp.maximum(d2, 1e-2) + energy_dir[idx]
 
 
+def _importance_t(rt, base: int, p: V3):
+    """Cluster importance from transposed paired-row planes (rt is an
+    indexable of (N,) planes; base 0 = left child, 8 = right)."""
+    cx = jnp.clip(p.x, rt[base + 0], rt[base + 3]) - p.x
+    cy = jnp.clip(p.y, rt[base + 1], rt[base + 4]) - p.y
+    cz = jnp.clip(p.z, rt[base + 2], rt[base + 5]) - p.z
+    d2 = cx * cx + cy * cy + cz * cz
+    return rt[base + 6] / jnp.maximum(d2, 1e-2) + rt[base + 7]
+
+
 def sample_light(tree: LightTree, p: V3, u: jnp.ndarray):
     """Stochastic descent: one light per ray.
 
     p: V3 of (N,) shading positions; u: (N,) uniforms.
     Returns (light_id (N,) i32 into the ORIGINAL light table,
-    pdf (N,) f32 — the exact discrete probability of that pick)."""
+    pdf (N,) f32 — the exact discrete probability of that pick).
+
+    Each level costs ONE (N, 16) gather of the paired-children table
+    (see LightTree.pair) + elementwise math: measured 75.2 -> 13.2 ms
+    device on the 256-light bench config (scripts/lights_ab.py) vs
+    the naive per-child (N, 3) gathers, whose row-count-bound cost
+    made the tree lose 3x to the flat-CDF scan."""
     n = u.shape[0]
     idx = jnp.zeros((n,), I32)
     pdf = jnp.ones((n,), jnp.float32)
     for k in range(tree.depth):
-        li = 2 * idx
-        ri = 2 * idx + 1
-        wl = _importance(tree.bmin[k + 1], tree.bmax[k + 1],
-                         tree.energy[k + 1], tree.energy_dir[k + 1],
-                         li, p)
-        wr = _importance(tree.bmin[k + 1], tree.bmax[k + 1],
-                         tree.energy[k + 1], tree.energy_dir[k + 1],
-                         ri, p)
+        if tree.pair:
+            rows = tree.pair[k][idx]                    # (N, 16)
+            rt = v3.rows_to_planes(rows)
+            wl = _importance_t(rt, 0, p)
+            wr = _importance_t(rt, 8, p)
+        else:  # legacy trees (no pair tables)
+            wl = _importance(tree.bmin[k + 1], tree.bmax[k + 1],
+                             tree.energy[k + 1], tree.energy_dir[k + 1],
+                             2 * idx, p)
+            wr = _importance(tree.bmin[k + 1], tree.bmax[k + 1],
+                             tree.energy[k + 1], tree.energy_dir[k + 1],
+                             2 * idx + 1, p)
         total = wl + wr
         pl = jnp.where(total > 0, wl / jnp.maximum(total, 1e-30), 0.5)
         take_l = u < pl
@@ -146,7 +180,7 @@ def sample_light(tree: LightTree, p: V3, u: jnp.ndarray):
                                (u - pl) / jnp.maximum(1.0 - pl, 1e-12)),
                      0.0, 1.0 - 1e-7)
         pdf = pdf * jnp.where(take_l, pl, 1.0 - pl)
-        idx = jnp.where(take_l, li, ri)
+        idx = jnp.where(take_l, 2 * idx, 2 * idx + 1)
     return tree.perm[idx], pdf
 
 

@@ -379,11 +379,16 @@ def _direct_sampled_p(scene: SceneData, accel, mat: MatP, rows, n: V3,
     shading point by unshadowed contribution (intensity x NdotL x
     luminance) — the light-hierarchy stand-in the reference's comment
     points at (raytracing.slang:76).  Shadow rays per point: S, not L.
-    Past 32 lights (or with light_sampler="bvh") the O(L) weight scan
-    here is replaced by the light-BVH descent (_direct_bvh_p)."""
+    Past 384 lights (or with light_sampler="bvh") the O(L) weight scan
+    here is replaced by the light-BVH descent (_direct_bvh_p).  The
+    crossover is measured, not asymptotic (scripts/lights_ab.py, v5e,
+    2-sample NEE at 512x384): the scan is pure contiguous VPU work
+    while the descent pays one row-count-bound (N, 16) gather per
+    level, so at 256 lights the scan still edges it (25.1 vs 27.0
+    device ms) and at 1024 the tree wins 2.2x (31.2 vs 69.0)."""
     num_lights = scene.lights.shape[0]
     if (config.light_sampler == "bvh"
-            or (config.light_sampler == "auto" and num_lights > 32)):
+            or (config.light_sampler == "auto" and num_lights > 384)):
         return _direct_bvh_p(scene, accel, mat, rows, n, view,
                              world_pos, config, ray_mask, seed, frame)
     # Vectorized over lights: every per-light quantity is one (L, N)
